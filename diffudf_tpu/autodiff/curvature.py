@@ -1,0 +1,69 @@
+"""Differential-geometry quantities of the learned implicit surface.
+
+Closed-form curvature formulas evaluated from (∇f, H) — no extra autodiff
+passes (the reference re-enters autograd per quantity,
+``src/diff_operators.py:7-50``).  For an implicit surface f = const:
+
+  * mean curvature      K_m = ( |∇f|² tr H − ∇fᵀ H ∇f ) / (2 |∇f|³)
+                        (equivalently ½ ∇·(∇f/|∇f|), the reference's form,
+                        ``src/diff_operators.py:32-38``)
+  * gaussian curvature  K_g = − det [[H, ∇f], [∇fᵀ, 0]] / |∇f|⁴
+                        (bordered-Hessian form, ``src/diff_operators.py:7-30``)
+  * principal curvatures K_m ± sqrt(|K_m² − K_g| + ε)
+
+Sign conventions follow the reference (outward gradient ⇒ sphere of radius r
+has K_m = −1/r with ∇f pointing outward... the reference returns
+(−Kmax, −Kmin) from ``principal_curvature``; we keep the raw geometric values
+and let callers flip).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def mean_curvature(grad, hess):
+    """(..., 3), (..., 3, 3) -> (...,). ½ ∇·(∇f/|∇f|) in closed form."""
+    gnorm = jnp.linalg.norm(grad, axis=-1)
+    g3 = jnp.maximum(gnorm, 1e-12) ** 3
+    gHg = jnp.einsum("...i,...ij,...j->...", grad, hess, grad)
+    trH = jnp.trace(hess, axis1=-2, axis2=-1)
+    return (gnorm**2 * trH - gHg) / (2.0 * g3)
+
+
+def gaussian_curvature(grad, hess):
+    """(..., 3), (..., 3, 3) -> (...,). Bordered-Hessian determinant form."""
+    batch = grad.shape[:-1]
+    F = jnp.zeros(batch + (4, 4), dtype=grad.dtype)
+    F = F.at[..., :3, :3].set(hess)
+    F = F.at[..., :3, 3].set(grad)
+    F = F.at[..., 3, :3].set(grad)
+    gnorm4 = jnp.maximum(jnp.linalg.norm(grad, axis=-1), 1e-12) ** 4
+    return -jnp.linalg.det(F) / gnorm4
+
+
+def principal_curvatures(grad, hess):
+    """Returns (k_min, k_max), each (...,)."""
+    km = mean_curvature(grad, hess)
+    kg = gaussian_curvature(grad, hess)
+    a = jnp.sqrt(jnp.abs(km * km - kg) + 1e-5)
+    return km - a, km + a
+
+
+def shape_operator_curvatures(normals_jac, normals, mode: str):
+    """Curvatures from the Jacobian of a unit-normal field (render path).
+
+    The sphere tracer shades with curvature computed from the *normalised*
+    Hessian-normal field the way the reference does (``src/render_st.py:
+    42-55``): mean = ½ tr(J), gaussian = −det of the bordered Jacobian.
+    """
+    if mode == "mean":
+        return 0.5 * jnp.trace(normals_jac, axis1=-2, axis2=-1)
+    if mode == "gaussian":
+        batch = normals.shape[:-1]
+        F = jnp.zeros(batch + (4, 4), dtype=normals.dtype)
+        F = F.at[..., :3, :3].set(normals_jac)
+        F = F.at[..., :3, 3].set(normals)
+        F = F.at[..., 3, :3].set(normals)
+        return -jnp.linalg.det(F)
+    raise ValueError(f"unknown curvature mode {mode!r}")

@@ -1,0 +1,194 @@
+"""On-device ground-truth distance oracles.
+
+The reference queries Open3D's host-side BVH RaycastingScene every training
+step (``src/dataset.py:35,50``) — a CPU↔GPU round trip in the hot loop.  Here
+both oracles are jit-compiled JAX kernels that run on the TPU inside the
+training step:
+
+  * :func:`point_cloud_distance` — exact nearest-neighbour distance to a
+    surface sample cloud (the reference's ``shortestDistance`` brute force,
+    ``src/dataset.py:72-78``) expressed as an MXU matmul with a tiled min
+    reduction so the Q×N distance matrix is never materialised in HBM.
+  * :func:`point_triangle_distance` — exact unsigned distance to a triangle
+    mesh (closest-point-on-triangle, branchless Ericson construction),
+    replacing the BVH with a brute-force-over-triangles sweep that
+    vectorises perfectly; queries stream through ``lax.map`` tiles.
+  * :func:`winding_number` — generalised winding number (solid-angle sum,
+    Jacobson et al.) giving the inside/outside sign for signed distance.
+
+All kernels take padded, statically-shaped arrays and are shard_map-friendly
+(queries shard along the batch axis; the reference geometry is replicated).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _min_sq_dist_tile(q, x_sq, x):
+    """q: (Tq, 3), x: (N, 3), x_sq: (N,) -> (Tq,) min squared distance."""
+    # |q - x|² = |q|² - 2 q·x + |x|²;  the q·x term is an MXU matmul
+    cross = q @ x.T  # (Tq, N)
+    d2 = x_sq[None, :] - 2.0 * cross
+    return jnp.min(d2, axis=1) + jnp.sum(q * q, axis=1)
+
+
+def point_cloud_distance(queries: jax.Array, cloud: jax.Array, tile: int = 2048):
+    """Exact min Euclidean distance from each query to the cloud.
+
+    queries: (Q, 3), cloud: (N, 3) -> (Q,).  Q must be a multiple of `tile`
+    or smaller than it; use :func:`pad_to` upstream if needed.
+    """
+    q = queries.shape[0]
+    if q <= tile:
+        d2 = _min_sq_dist_tile(queries, jnp.sum(cloud * cloud, axis=1), cloud)
+        return jnp.sqrt(jnp.maximum(d2, 0.0))
+    if q % tile:
+        pad = tile - q % tile
+        padded = jnp.concatenate([queries, jnp.zeros((pad, 3), queries.dtype)])
+        return point_cloud_distance(padded, cloud, tile)[:q]
+    x_sq = jnp.sum(cloud * cloud, axis=1)
+    tiles = queries.reshape(q // tile, tile, 3)
+    d2 = lax.map(lambda t: _min_sq_dist_tile(t, x_sq, cloud), tiles)
+    return jnp.sqrt(jnp.maximum(d2.reshape(q), 0.0))
+
+
+def _closest_point_sq_dist(p, a, b, c):
+    """Squared distance from points p (Tq, 1, 3) to triangles (1, T, 3).
+
+    Branchless closest-point-on-triangle (the textbook Voronoi-region
+    construction folded into nested `where`s — identical result to Ericson,
+    RTCD §5.1.5, but fully vectorised).
+    Shapes broadcast: returns (Tq, T).
+    """
+    ab = b - a
+    ac = c - a
+    ap = p - a
+
+    d1 = jnp.sum(ab * ap, axis=-1)
+    d2 = jnp.sum(ac * ap, axis=-1)
+    d3 = jnp.sum(ab * (p - b), axis=-1)
+    d4 = jnp.sum(ac * (p - b), axis=-1)
+    d5 = jnp.sum(ab * (p - c), axis=-1)
+    d6 = jnp.sum(ac * (p - c), axis=-1)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+
+    denom = jnp.maximum(va + vb + vc, 1e-30)
+    v = vb / denom
+    w = vc / denom
+
+    # interior barycentric candidate
+    pt = a + v[..., None] * ab + w[..., None] * ac
+
+    # edge/vertex regions
+    t_ab = jnp.clip(d1 / jnp.maximum(d1 - d3, 1e-30), 0.0, 1.0)
+    t_ac = jnp.clip(d2 / jnp.maximum(d2 - d6, 1e-30), 0.0, 1.0)
+    t_bc = jnp.clip((d4 - d3) / jnp.maximum((d4 - d3) + (d5 - d6), 1e-30), 0.0, 1.0)
+
+    p_ab = a + t_ab[..., None] * ab
+    p_ac = a + t_ac[..., None] * ac
+    p_bc = b + t_bc[..., None] * (c - b)
+
+    in_vert_a = (d1 <= 0) & (d2 <= 0)
+    in_vert_b = (d3 >= 0) & (d4 <= d3)
+    in_vert_c = (d6 >= 0) & (d5 <= d6)
+    in_edge_ab = (~in_vert_a) & (~in_vert_b) & (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    in_edge_ac = (~in_vert_a) & (~in_vert_c) & (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+    in_edge_bc = (~in_vert_b) & (~in_vert_c) & (va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0)
+
+    closest = pt
+    closest = jnp.where(in_edge_ab[..., None], p_ab, closest)
+    closest = jnp.where(in_edge_ac[..., None], p_ac, closest)
+    closest = jnp.where(in_edge_bc[..., None], p_bc, closest)
+    closest = jnp.where(in_vert_a[..., None], jnp.broadcast_to(a, closest.shape), closest)
+    closest = jnp.where(in_vert_b[..., None], jnp.broadcast_to(b, closest.shape), closest)
+    closest = jnp.where(in_vert_c[..., None], jnp.broadcast_to(c, closest.shape), closest)
+
+    diff = p - closest
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def point_triangle_distance(queries: jax.Array, tri_verts: jax.Array, tile: int = 256):
+    """Exact unsigned distance to a triangle soup.
+
+    queries: (Q, 3); tri_verts: (T, 3, 3) -> (Q,)
+    """
+    a = tri_verts[:, 0][None]
+    b = tri_verts[:, 1][None]
+    c = tri_verts[:, 2][None]
+
+    def one_tile(q):
+        d2 = _closest_point_sq_dist(q[:, None, :], a, b, c)
+        return jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0))
+
+    qn = queries.shape[0]
+    if qn <= tile:
+        return one_tile(queries)
+    if qn % tile:
+        pad = tile - qn % tile
+        padded = jnp.concatenate([queries, jnp.zeros((pad, 3), queries.dtype)])
+        return point_triangle_distance(padded, tri_verts, tile)[:qn]
+    tiles = queries.reshape(qn // tile, tile, 3)
+    out = lax.map(one_tile, tiles)
+    return out.reshape(qn)
+
+
+def winding_number(queries: jax.Array, tri_verts: jax.Array, tile: int = 256):
+    """Generalised winding number of each query wrt the mesh (≈1 inside,
+    ≈0 outside for watertight meshes).  Solid-angle sum per triangle
+    (van Oosterom–Strackee formula)."""
+    a = tri_verts[:, 0][None]
+    b = tri_verts[:, 1][None]
+    c = tri_verts[:, 2][None]
+
+    def one_tile(q):
+        pa = a - q[:, None, :]
+        pb = b - q[:, None, :]
+        pc = c - q[:, None, :]
+        la = jnp.linalg.norm(pa, axis=-1)
+        lb = jnp.linalg.norm(pb, axis=-1)
+        lc = jnp.linalg.norm(pc, axis=-1)
+        num = jnp.sum(pa * jnp.cross(pb, pc), axis=-1)
+        den = (
+            la * lb * lc
+            + jnp.sum(pa * pb, axis=-1) * lc
+            + jnp.sum(pb * pc, axis=-1) * la
+            + jnp.sum(pc * pa, axis=-1) * lb
+        )
+        omega = 2.0 * jnp.arctan2(num, den)
+        return jnp.sum(omega, axis=1) / (4.0 * jnp.pi)
+
+    qn = queries.shape[0]
+    if qn <= tile:
+        return one_tile(queries)
+    if qn % tile:
+        pad = tile - qn % tile
+        padded = jnp.concatenate([queries, jnp.zeros((pad, 3), queries.dtype)])
+        return winding_number(padded, tri_verts, tile)[:qn]
+    tiles = queries.reshape(qn // tile, tile, 3)
+    return lax.map(one_tile, tiles).reshape(qn)
+
+
+def signed_mesh_distance(queries: jax.Array, tri_verts: jax.Array, tile: int = 256):
+    """Signed distance: negative inside (winding > 0.5), positive outside.
+
+    Open3D ``compute_signed_distance`` analogue used by mesh-mode training
+    (``src/dataset.py:35``)."""
+    d = point_triangle_distance(queries, tri_verts, tile)
+    w = winding_number(queries, tri_verts, tile)
+    return jnp.where(w > 0.5, -d, d)
+
+
+def triangles_from_mesh(vertices, faces) -> jax.Array:
+    """Host helper: (V, 3), (F, 3) -> (F, 3, 3) float32 device array."""
+    import numpy as np
+
+    tv = np.asarray(vertices, dtype=np.float32)[np.asarray(faces)]
+    return jnp.asarray(tv)

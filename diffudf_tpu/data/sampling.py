@@ -1,0 +1,141 @@
+"""Training batch sampling — fully on-device, inside the jit'd train step.
+
+The reference builds every batch on the host: Open3D BVH queries + numpy
+randint + torch normal, then ships it to the GPU (``src/dataset.py:14-131``).
+Here the sampler is a pure function of a PRNG key that runs *inside* the
+compiled training step: indices via ``jax.random.randint``, GT distances via
+the on-device oracles in :mod:`.mesh_distance`.  Zero host↔device traffic per
+step.
+
+Batch layout matches the reference contract exactly
+(``src/dataset.py:54-70``): rows = [on-surface | far-uniform | near-surface],
+normals zero off-surface, sdf column = [0 | oracle(far) | near-offsets].
+
+  * far points: uniform in [-1,1]³, GT = signed mesh distance (mesh oracle,
+    ``dataset.py:35``) or unsigned nearest-point distance (pc oracle,
+    ``dataset.py:103``)
+  * near points: surface point + normal · N(0, 0.01) (scalar per point);
+    GT = oracle (mesh) or |offset| (pc, ``dataset.py:109-111``)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mesh_distance import point_cloud_distance, signed_mesh_distance
+
+
+def sample_surface_points(mesh, n: int, seed: int = 123):
+    """Host-side area-weighted uniform surface sampling with triangle normals.
+
+    Open3D ``sample_points_uniformly(use_triangle_normal=True)`` analogue
+    (``src/preprocess_mesh.py:39``). Returns (points (n,3), normals (n,3)).
+    """
+    rng = np.random.default_rng(seed)
+    areas, tri_normals = mesh.face_areas_normals()
+    probs = areas / areas.sum()
+    tri_idx = rng.choice(len(probs), size=n, p=probs)
+    v = mesh.vertices[mesh.faces[tri_idx]]  # (n, 3, 3)
+    u1 = rng.random(n)
+    u2 = rng.random(n)
+    flip = u1 + u2 > 1
+    u1 = np.where(flip, 1 - u1, u1)
+    u2 = np.where(flip, 1 - u2, u2)
+    pts = v[:, 0] + u1[:, None] * (v[:, 1] - v[:, 0]) + u2[:, None] * (v[:, 2] - v[:, 0])
+    return pts, tri_normals[tri_idx]
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchSizes:
+    on_surface: int
+    far: int
+    near: int
+
+    @property
+    def total(self) -> int:
+        return self.on_surface + self.far + self.near
+
+    @classmethod
+    def from_config(cls, batch_size: int, percentiles) -> "BatchSizes":
+        """Reference split (``src/dataset.py:161-163,27-28``):
+        on = int(B·p0); off = int(B·p1); far = off//2; near = off - far."""
+        on = int(batch_size * percentiles[0])
+        off = int(batch_size * percentiles[1])
+        return cls(on_surface=on, far=off // 2, near=off - off // 2)
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True, eq=True)
+class SamplerStatic:
+    sizes: BatchSizes
+    oracle: str  # 'pointcloud' | 'mesh'
+    stddev: float = 0.01
+
+
+@dataclasses.dataclass
+class TrainingSampler:
+    """Device-resident sampler. ``sample(key)`` is pure & jit-traceable."""
+
+    surface_points: jax.Array  # (N, 3) f32
+    surface_normals: jax.Array  # (N, 3) f32
+    static: SamplerStatic
+    tri_verts: jax.Array | None = None  # (T, 3, 3) for the mesh oracle
+
+    @classmethod
+    def from_point_cloud(cls, points, normals, batch_size, percentiles, stddev=0.01):
+        sizes = BatchSizes.from_config(batch_size, percentiles)
+        return cls(
+            surface_points=jnp.asarray(points, jnp.float32),
+            surface_normals=jnp.asarray(normals, jnp.float32),
+            static=SamplerStatic(sizes, "pointcloud", stddev),
+        )
+
+    @classmethod
+    def from_mesh(cls, points, normals, tri_verts, batch_size, percentiles, stddev=0.01):
+        sizes = BatchSizes.from_config(batch_size, percentiles)
+        return cls(
+            surface_points=jnp.asarray(points, jnp.float32),
+            surface_normals=jnp.asarray(normals, jnp.float32),
+            static=SamplerStatic(sizes, "mesh", stddev),
+            tri_verts=jnp.asarray(tri_verts, jnp.float32),
+        )
+
+    def sample(self, key: jax.Array):
+        """-> (points (B,3), normals (B,3), sdf (B,1)), B = sizes.total."""
+        sz = self.static.sizes
+        k_surf, k_far, k_near_idx, k_near_off = jax.random.split(key, 4)
+
+        n_cloud = self.surface_points.shape[0]
+        surf_idx = jax.random.randint(k_surf, (sz.on_surface,), 0, n_cloud)
+        surf_pts = self.surface_points[surf_idx]
+        surf_nrm = self.surface_normals[surf_idx]
+
+        far_pts = jax.random.uniform(
+            k_far, (sz.far, 3), jnp.float32, minval=-1.0, maxval=1.0
+        )
+
+        near_sel = jax.random.randint(k_near_idx, (sz.near,), 0, sz.on_surface)
+        base_pts = surf_pts[near_sel]
+        base_nrm = surf_nrm[near_sel]
+        offset = self.static.stddev * jax.random.normal(k_near_off, (sz.near, 1), jnp.float32)
+        near_pts = base_pts + base_nrm * offset
+
+        if self.static.oracle == "mesh":
+            far_sdf = signed_mesh_distance(far_pts, self.tri_verts)
+            near_sdf = signed_mesh_distance(near_pts, self.tri_verts)
+        else:
+            far_sdf = point_cloud_distance(far_pts, self.surface_points)
+            near_sdf = jnp.abs(offset)[:, 0]
+
+        points = jnp.concatenate([surf_pts, far_pts, near_pts], axis=0)
+        normals = jnp.concatenate(
+            [surf_nrm, jnp.zeros((sz.far + sz.near, 3), jnp.float32)], axis=0
+        )
+        sdf = jnp.concatenate(
+            [jnp.zeros((sz.on_surface,), jnp.float32), far_sdf, near_sdf], axis=0
+        )[:, None]
+        return points, normals, sdf

@@ -1,0 +1,208 @@
+"""Tests for mesh IO, normalization, distance oracles and the batch sampler."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffudf_tpu.data import (
+    Mesh,
+    PointCloudData,
+    load_mesh,
+    save_mesh,
+    load_point_cloud,
+    save_point_cloud,
+    normalize_mesh,
+    normalize_point_cloud,
+    sample_surface_points,
+    TrainingSampler,
+    point_cloud_distance,
+    point_triangle_distance,
+    winding_number,
+    signed_mesh_distance,
+)
+from diffudf_tpu.data.mesh_distance import triangles_from_mesh
+
+
+def make_cube():
+    """Unit cube [-0.5, 0.5]³ as a 12-triangle mesh with outward winding."""
+    v = np.array(
+        [[x, y, z] for x in (-0.5, 0.5) for y in (-0.5, 0.5) for z in (-0.5, 0.5)],
+        dtype=np.float64,
+    )
+    # faces with outward-facing orientation
+    f = np.array([
+        [0, 1, 3], [0, 3, 2],  # x = -0.5
+        [4, 6, 7], [4, 7, 5],  # x = +0.5
+        [0, 4, 5], [0, 5, 1],  # y = -0.5
+        [2, 3, 7], [2, 7, 6],  # y = +0.5
+        [0, 2, 6], [0, 6, 4],  # z = -0.5
+        [1, 5, 7], [1, 7, 3],  # z = +0.5
+    ], dtype=np.int64)
+    return Mesh(v, f)
+
+
+class TestIO:
+    def test_obj_roundtrip(self, tmp_path):
+        m = make_cube()
+        p = str(tmp_path / "cube.obj")
+        save_mesh(p, m)
+        m2 = load_mesh(p)
+        np.testing.assert_allclose(m2.vertices, m.vertices, atol=1e-6)
+        np.testing.assert_array_equal(m2.faces, m.faces)
+
+    def test_ply_mesh_roundtrip(self, tmp_path):
+        m = make_cube()
+        p = str(tmp_path / "cube.ply")
+        save_mesh(p, m)
+        m2 = load_mesh(p)
+        np.testing.assert_allclose(m2.vertices, m.vertices, atol=1e-6)
+        np.testing.assert_array_equal(m2.faces, m.faces)
+
+    def test_ply_points_roundtrip(self, tmp_path, rng):
+        pts = rng.normal(size=(100, 3))
+        nrm = rng.normal(size=(100, 3))
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        p = str(tmp_path / "pc.ply")
+        save_point_cloud(p, PointCloudData(pts, nrm))
+        pc = load_point_cloud(p)
+        np.testing.assert_allclose(pc.points, pts, atol=1e-6)
+        np.testing.assert_allclose(pc.normals, nrm, atol=1e-6)
+
+    def test_obj_quad_triangulation(self, tmp_path):
+        p = str(tmp_path / "quad.obj")
+        with open(p, "w") as fh:
+            fh.write("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf 1 2 3 4\n")
+        m = load_mesh(p)
+        assert m.faces.shape == (2, 3)
+
+    def test_vertex_normals(self):
+        m = make_cube()
+        vn = m.compute_vertex_normals()
+        assert vn.shape == (8, 3)
+        # corner normals of a cube point diagonally outward
+        assert np.all(np.sign(vn) == np.sign(m.vertices))
+
+
+class TestNormalize:
+    def test_mesh_in_cube_with_margin(self, rng):
+        v = rng.normal(size=(50, 3)) * 4 + np.array([10.0, -3.0, 7.0])
+        m = Mesh(v, np.zeros((0, 3), np.int64))
+        m2, T = normalize_mesh(m)
+        assert np.abs(m2.vertices).max() == pytest.approx(1 / 1.1, rel=1e-6)
+        np.testing.assert_allclose(m2.center, 0.0, atol=1e-9)
+        # transform reproduces the normalized vertices
+        v2 = v @ T[:3, :3].T + T[:3, 3]
+        np.testing.assert_allclose(v2, m2.vertices, atol=1e-12)
+
+    def test_point_cloud(self, rng):
+        pts = rng.normal(size=(100, 3)) * 3 + 5
+        pc, T = normalize_point_cloud(PointCloudData(pts, None))
+        assert np.abs(pc.points).max() == pytest.approx(1 / 1.1, rel=1e-6)
+
+
+class TestDistances:
+    def test_point_cloud_distance_vs_numpy(self, rng):
+        cloud = rng.normal(size=(500, 3)).astype(np.float32)
+        q = rng.normal(size=(64, 3)).astype(np.float32)
+        got = np.asarray(point_cloud_distance(jnp.asarray(q), jnp.asarray(cloud)))
+        want = np.sqrt(((q[:, None] - cloud[None]) ** 2).sum(-1)).min(1)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_point_cloud_distance_tiled(self, rng):
+        cloud = rng.normal(size=(300, 3)).astype(np.float32)
+        q = rng.normal(size=(5000, 3)).astype(np.float32)
+        got = np.asarray(point_cloud_distance(jnp.asarray(q), jnp.asarray(cloud), tile=1024))
+        want = np.sqrt(((q[:, None] - cloud[None]) ** 2).sum(-1)).min(1)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_point_triangle_distance_cube(self, rng):
+        m = make_cube()
+        tris = triangles_from_mesh(m.vertices, m.faces)
+        # for a cube, distance from outside points = distance to the box
+        q = np.array([
+            [1.0, 0.0, 0.0],   # 0.5 from +x face
+            [0.0, 0.0, 2.0],   # 1.5 from +z face
+            [0.7, 0.7, 0.0],   # sqrt(2)*0.2 from the edge
+            [0.0, 0.0, 0.0],   # center: 0.5 from every face
+        ], dtype=np.float32)
+        want = np.array([0.5, 1.5, np.sqrt(2) * 0.2, 0.5])
+        got = np.asarray(point_triangle_distance(jnp.asarray(q), tris))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_winding_number_cube(self, rng):
+        m = make_cube()
+        tris = triangles_from_mesh(m.vertices, m.faces)
+        inside = (rng.random((50, 3)).astype(np.float32) - 0.5) * 0.9
+        outside = rng.normal(size=(50, 3)).astype(np.float32)
+        outside = outside / np.linalg.norm(outside, axis=1, keepdims=True) * 2.0
+        w_in = np.asarray(winding_number(jnp.asarray(inside), tris))
+        w_out = np.asarray(winding_number(jnp.asarray(outside), tris))
+        np.testing.assert_allclose(w_in, 1.0, atol=1e-3)
+        np.testing.assert_allclose(w_out, 0.0, atol=1e-3)
+
+    def test_signed_distance_cube(self):
+        m = make_cube()
+        tris = triangles_from_mesh(m.vertices, m.faces)
+        q = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]], dtype=jnp.float32)
+        d = np.asarray(signed_mesh_distance(q, tris))
+        np.testing.assert_allclose(d, [-0.5, 0.5], atol=1e-5)
+
+
+class TestSampling:
+    def test_surface_sampling_on_cube(self):
+        m = make_cube()
+        pts, nrm = sample_surface_points(m, 2000, seed=1)
+        assert pts.shape == (2000, 3)
+        # all points on the cube surface: max |coord| == 0.5
+        np.testing.assert_allclose(np.abs(pts).max(axis=1), 0.5, atol=1e-9)
+        # normals are axis-aligned unit vectors
+        np.testing.assert_allclose(np.abs(nrm).sum(axis=1), 1.0, atol=1e-9)
+
+    def test_pc_sampler_batch(self, rng):
+        pts = rng.normal(size=(1000, 3)).astype(np.float32)
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)  # unit sphere
+        nrm = pts.copy()
+        sampler = TrainingSampler.from_point_cloud(pts, nrm, 300, [0.333, 0.666])
+        p, n, s = jax.jit(sampler.sample)(jax.random.PRNGKey(0))
+        sz = sampler.static.sizes
+        assert p.shape == (sz.total, 3)
+        assert n.shape == (sz.total, 3)
+        assert s.shape == (sz.total, 1)
+        s = np.asarray(s)[:, 0]
+        # on-surface rows have sdf exactly 0, normals nonzero
+        assert np.all(s[: sz.on_surface] == 0)
+        assert np.all(np.abs(np.asarray(n)[: sz.on_surface]).sum(1) > 0.5)
+        # far rows: distance to unit sphere cloud ≈ | |p| - 1 | (dense cloud)
+        far = np.asarray(p)[sz.on_surface : sz.on_surface + sz.far]
+        want = np.abs(np.linalg.norm(far, axis=1) - 1.0)
+        got = s[sz.on_surface : sz.on_surface + sz.far]
+        # cloud distance ≥ analytic sphere distance, and within cloud spacing
+        assert np.all(got >= want - 1e-5)
+        assert np.all(got <= want + 0.2)
+        # near rows: small positive offsets
+        near_s = s[sz.on_surface + sz.far :]
+        assert np.all(near_s >= 0)
+        assert near_s.max() < 0.08  # ~N(0, 0.01) magnitudes
+
+    def test_mesh_sampler_signed(self, rng):
+        m = make_cube()
+        pts, nrm = sample_surface_points(m, 500, seed=2)
+        tris = np.asarray(m.vertices[m.faces])
+        sampler = TrainingSampler.from_mesh(pts, nrm, tris, 300, [0.333, 0.666])
+        p, n, s = jax.jit(sampler.sample)(jax.random.PRNGKey(1))
+        sz = sampler.static.sizes
+        s = np.asarray(s)[:, 0]
+        far = np.asarray(p)[sz.on_surface : sz.on_surface + sz.far]
+        inside = np.all(np.abs(far) < 0.5, axis=1)
+        # signed: interior points negative, exterior positive
+        assert np.all(s[sz.on_surface : sz.on_surface + sz.far][inside] <= 0)
+        assert np.all(s[sz.on_surface : sz.on_surface + sz.far][~inside] >= 0)
+
+    def test_batch_sizes_match_reference_split(self):
+        from diffudf_tpu.data.sampling import BatchSizes
+
+        sz = BatchSizes.from_config(30000, [0.333, 0.666])
+        assert sz.on_surface == 9990
+        assert sz.far == 9990
+        assert sz.near == 9990
