@@ -28,16 +28,19 @@ def _eigvals3(A):
     p1 = a01**2 + a02**2 + a12**2
     d0, d1, d2 = A[..., 0, 0] - q, A[..., 1, 1] - q, A[..., 2, 2] - q
     p2 = d0**2 + d1**2 + d2**2 + 2.0 * p1
-    p = jnp.sqrt(jnp.maximum(p2, 0.0) / 6.0)
+    # gradient-safe: sqrt'(0) and arccos'(±1) are infinite, and this op sits
+    # inside the training loss (reverse-mode flows through it); the 1e-12 /
+    # 1e-7 pads bias eigenvalues by ≲1e-6 — far below field accuracy
+    p = jnp.sqrt((jnp.maximum(p2, 0.0) + 1e-12) / 6.0)
     safe_p = jnp.maximum(p, _EPS)
     B = (A - q[..., None, None] * jnp.eye(3, dtype=A.dtype)) / safe_p[..., None, None]
-    # r = det(B) / 2, clipped into acos domain against roundoff
+    # r = det(B) / 2, clipped strictly inside the acos domain
     detB = (
         B[..., 0, 0] * (B[..., 1, 1] * B[..., 2, 2] - B[..., 1, 2] * B[..., 2, 1])
         - B[..., 0, 1] * (B[..., 1, 0] * B[..., 2, 2] - B[..., 1, 2] * B[..., 2, 0])
         + B[..., 0, 2] * (B[..., 1, 0] * B[..., 2, 1] - B[..., 1, 1] * B[..., 2, 0])
     )
-    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    r = jnp.clip(detB / 2.0, -1.0 + 1e-7, 1.0 - 1e-7)
     phi = jnp.arccos(r) / 3.0
     lam_hi = q + 2.0 * p * jnp.cos(phi)
     lam_lo = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
@@ -58,13 +61,26 @@ def _eigvec_for(A, lam_a, lam_b):
     eye = jnp.eye(3, dtype=A.dtype)
     Ma = A - lam_a[..., None, None] * eye
     Mb = A - lam_b[..., None, None] * eye
-    M = Ma @ Mb
+    # 3×3 product via broadcast-multiply + sum: batched tiny dot_generals
+    # pad to full MXU tiles on TPU (catastrophic); this stays on the VPU
+    M = jnp.sum(Ma[..., :, :, None] * Mb[..., None, :, :], axis=-2)
     norms = jnp.sum(M * M, axis=-2)  # (..., 3) column squared norms
-    best = jnp.argmax(norms, axis=-1)
-    v = jnp.take_along_axis(M, best[..., None, None], axis=-1)[..., 0]
-    vnorm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    # column selection via where-chains, not take_along_axis: the gather's
+    # reverse-mode transpose is a scatter — pathological on TPU
+    n0, n1, n2 = norms[..., 0], norms[..., 1], norms[..., 2]
+    c0, c1, c2 = M[..., :, 0], M[..., :, 1], M[..., :, 2]
+    use0 = ((n0 >= n1) & (n0 >= n2))[..., None]
+    use1 = (n1 >= n2)[..., None]
+    v = jnp.where(use0, c0, jnp.where(use1, c1, c2))
     fallback = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], dtype=A.dtype), v.shape)
-    return jnp.where(vnorm > 1e-20, v / jnp.maximum(vnorm, _EPS), fallback)
+    # double-where: degenerate columns are replaced BEFORE the division so
+    # reverse-mode never sees a 0/0 (where() alone still backprops NaN
+    # through the untaken branch)
+    vn2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    ok = vn2 > 1e-20
+    v_safe = jnp.where(ok, v, fallback)
+    vnorm = jnp.sqrt(jnp.sum(v_safe * v_safe, axis=-1, keepdims=True))
+    return v_safe / jnp.maximum(vnorm, _EPS)
 
 
 def eigh3x3(A):

@@ -63,6 +63,17 @@ def _act(spec: SirenSpec, freq, z):
     return wz * relu_mask, freq * relu_mask, jnp.zeros_like(z)
 
 
+def _bmm(t: jax.Array, w: jax.Array) -> jax.Array:
+    """(N, K, h_in) @ (h_in, h_out) as ONE flat (N·K, h_in) matmul.
+
+    Critical on TPU: naive ``t @ w`` lowers to N batched (K, h) matmuls with
+    K ∈ {3, 6} rows — ~2% MXU utilisation.  Flattening the derivative
+    component axis into the row dimension makes it a single dense matmul.
+    """
+    n, k, h = t.shape
+    return (t.reshape(n * k, h) @ w).reshape(n, k, -1)
+
+
 def value_grad(params, spec: SirenSpec, x: jax.Array):
     """Fused (f, ∇f): (N, 3) -> ((N,), (N, 3)).  Cost ≈ 4 forward matmuls."""
     if spec.n_out != 1:
@@ -74,12 +85,12 @@ def value_grad(params, spec: SirenSpec, x: jax.Array):
     for i, layer in enumerate(params[:-1]):
         w = layer["w"]
         z = a @ w + layer["b"]
-        jz = jac @ w  # (N, 3, h)
+        jz = _bmm(jac, w)  # (N, 3, h)
         a, d1, _ = _act(spec, freqs[i], z)
         jac = d1[:, None, :] * jz
     last = params[-1]
     f = (a @ last["w"] + last["b"])[..., 0]
-    g = (jac @ last["w"])[..., 0]
+    g = _bmm(jac, last["w"])[..., 0]
     return f, g
 
 
@@ -105,17 +116,22 @@ def value_grad_hessian_packed(params, spec: SirenSpec, x: jax.Array):
     for i, layer in enumerate(params[:-1]):
         w = layer["w"]
         z = a @ w + layer["b"]
-        jz = jac @ w  # (N, 3, h)
-        hz = hes @ w  # (N, 6, h)
+        jz = _bmm(jac, w)  # (N, 3, h)
+        hz = _bmm(hes, w)  # (N, 6, h)
         a, d1, d2 = _act(spec, freqs[i], z)
-        # outer products (J·W)ᵢ (J·W)ⱼ for the 6 packed components
-        outer = jz[:, _TRI_I, :] * jz[:, _TRI_J, :]  # (N, 6, h)
+        # outer products (J·W)ᵢ (J·W)ⱼ for the 6 packed components — built
+        # from static slices (a fancy-index gather here transposes to a
+        # scatter in reverse mode, which is very slow on TPU)
+        jx, jy, jzc = jz[:, 0, :], jz[:, 1, :], jz[:, 2, :]
+        outer = jnp.stack(
+            [jx * jx, jx * jy, jx * jzc, jy * jy, jy * jzc, jzc * jzc], axis=1
+        )  # (N, 6, h)
         jac = d1[:, None, :] * jz
         hes = d1[:, None, :] * hz + d2[:, None, :] * outer
     last = params[-1]
     f = (a @ last["w"] + last["b"])[..., 0]
-    g = (jac @ last["w"])[..., 0]
-    h6 = (hes @ last["w"])[..., 0]
+    g = _bmm(jac, last["w"])[..., 0]
+    h6 = _bmm(hes, last["w"])[..., 0]
     return f, g, h6
 
 

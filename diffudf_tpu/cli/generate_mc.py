@@ -1,0 +1,90 @@
+"""CLI: marching-cubes mesh extraction from a trained model.
+
+Reference-compatible surface (``generate_mc.py``):
+
+    python -m diffudf_tpu.cli.generate_mc <config.json>
+
+Config keys (``configs/mc_cfg.json``): alpha, gt_mode, hidden_layer_nodes,
+w0, model_path (.npz), output_path, algorithm ∈ {meshudf, cap, both, siren},
+nsamples (grid N).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from ..data.mesh_io import Mesh, save_mesh
+from ..extract.cap import extract_mesh_cap
+from ..extract.meshudf import extract_mesh_meshudf
+from ..extract.sdf_mc import extract_mesh_signed
+from ..fields.siren import SirenSpec
+from ..grid.lattice import extract_fields, extract_sdf_grid
+from ..train import checkpoint as ckpt
+
+
+def run_mc(params, spec, gt_mode, N, output_path, alpha=None, algorithm="meshudf",
+           mesh=None):
+    """Extract and save mesh(es); returns Mesh or (meshMU, meshCAP)."""
+    if algorithm == "siren":
+        sdf = np.asarray(extract_sdf_grid(params, spec, N, mesh=mesh))
+        verts, faces = extract_mesh_signed(sdf)
+        m = Mesh(verts, faces)
+        save_mesh(output_path, m)
+        print(f"Saved to {output_path}")
+        return m
+
+    udf, dirs = extract_fields(params, spec, N, gt_mode, alpha, mesh=mesh)
+    udf = np.asarray(udf)
+    dirs = np.asarray(dirs)
+
+    if algorithm == "cap":
+        verts, faces = extract_mesh_cap(udf, dirs, N)
+        m = Mesh(verts, faces)
+        save_mesh(output_path, m)
+        print(f"Saved to {output_path}")
+        return m
+    if algorithm == "meshudf":
+        verts, faces = extract_mesh_meshudf(udf, dirs)
+        m = Mesh(verts, faces)
+        save_mesh(output_path, m)
+        print(f"Saved to {output_path}")
+        return m
+    if algorithm == "both":
+        stem, ext = os.path.splitext(output_path)
+        verts, faces = extract_mesh_meshudf(udf, dirs)
+        mesh_mu = Mesh(verts, faces)
+        save_mesh(stem + "_MU" + ext, mesh_mu)
+        verts, faces = extract_mesh_cap(udf, dirs, N)
+        mesh_cap = Mesh(verts, faces)
+        save_mesh(stem + "_CAP" + ext, mesh_cap)
+        print(f"Saved to {stem + '_MU' + ext}, {stem + '_CAP' + ext}")
+        return mesh_mu, mesh_cap
+    raise ValueError(f"Invalid algorithm {algorithm!r}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Generate mesh from trained model")
+    parser.add_argument("config_path", type=str)
+    args = parser.parse_args(argv)
+    with open(args.config_path) as fh:
+        cfg = json.load(fh)
+
+    params = ckpt.load_params(cfg["model_path"])
+    spec = SirenSpec(
+        hidden=tuple(cfg["hidden_layer_nodes"]),
+        w0=cfg.get("w0", 30),
+        activation=cfg.get("activation", "sine"),
+    )
+    print("Generating mesh...")
+    run_mc(
+        params, spec, cfg["gt_mode"], cfg["nsamples"], cfg["output_path"],
+        cfg.get("alpha"), cfg.get("algorithm", "meshudf"),
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""CLI: train a DUDF field from a preprocessed mesh / point cloud.
+
+Reference-compatible surface (``train.py:450-467``):
+
+    python -m diffudf_tpu.cli.train <config.json> [device_ordinal]
+
+Full pipeline parity with ``setup_train`` (``train.py:285-448``): output dirs
++ params.json provenance, dataset build, staged training, per-chunk
+checkpoints (best / current / periodic), losses.csv, final model, slice
+diagnostics and final marching-cubes reconstructions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import os.path as osp
+
+import numpy as np
+
+from ..config import TrainConfig
+from ..data.mesh_io import load_mesh, load_point_cloud, save_mesh, Mesh
+from ..data.mesh_distance import point_cloud_distance, point_triangle_distance, triangles_from_mesh
+from ..data.sampling import TrainingSampler
+from ..grid.slices import plane_samples, predicted_slice, render_slice_figure
+from ..train.loop import Trainer
+from ..train import checkpoint as ckpt
+
+
+def build_sampler(cfg: TrainConfig):
+    """Load `<dataset>_pc.ply` (+ `<dataset>_t.obj` in mesh mode)."""
+    pc = load_point_cloud(cfg.dataset + "_pc.ply")
+    if pc.normals is None:
+        raise ValueError(f"{cfg.dataset}_pc.ply has no normals")
+    if cfg.only_pcloud:
+        sampler = TrainingSampler.from_point_cloud(
+            pc.points, pc.normals, cfg.batch_size, cfg.sampling_percentiles
+        )
+        mesh = None
+    else:
+        mesh = load_mesh(cfg.dataset + "_t.obj")
+        tris = mesh.vertices[mesh.faces]
+        sampler = TrainingSampler.from_mesh(
+            pc.points, pc.normals, tris, cfg.batch_size, cfg.sampling_percentiles
+        )
+    return sampler, pc, mesh
+
+
+def gt_plane_distances(cfg: TrainConfig, pc, mesh, width: int) -> np.ndarray:
+    """Unsigned GT distances on the x=0 slice plane (for the figure)."""
+    samples = plane_samples(width)
+    if mesh is not None:
+        d = point_triangle_distance(samples, triangles_from_mesh(mesh.vertices, mesh.faces))
+    else:
+        # pc mode: reference uses a KDTree over the full normalized cloud
+        # (generate_df.py:205-206); brute-force on device here
+        d = point_cloud_distance(samples, np.asarray(pc.points, np.float32))
+    return np.abs(np.asarray(d))
+
+
+def generate_final_meshes(params, spec, cfg: TrainConfig, out_dir: str, mesh_ctx=None):
+    """Final reconstruction(s), reference naming (``train.py:430-448``)."""
+    from .generate_mc import run_mc
+
+    algorithm = "both" if cfg.gt_mode == "tanh" else "siren"
+    return run_mc(
+        params, spec, cfg.gt_mode, cfg.resolution,
+        osp.join(out_dir, "mc_mesh_best.obj"), cfg.alpha, algorithm,
+    )
+
+
+def setup_train(cfg: TrainConfig, make_meshes: bool = True, verbose: bool = True):
+    """Programmatic entry (the ``cuantitative`` driver uses this too).
+
+    Returns (training_time_seconds, final mesh or (meshMU, meshCAP) or None).
+    """
+    full_path = ckpt.create_output_paths(cfg.checkpoint_path, cfg.experiment_name)
+    with open(osp.join(full_path, "params.json"), "w") as fh:
+        json.dump(cfg.to_dict(), fh, indent=4)
+
+    sampler, pc, mesh = build_sampler(cfg)
+    spec = cfg.network.to_spec()
+
+    trainer = Trainer(spec, sampler, cfg)
+    state = trainer.init_state()
+    if cfg.network.pretrained_dict not in (None, "None", ""):
+        state.params = ckpt.load_params(cfg.network.pretrained_dict)
+        state.best_params = state.params
+
+    models_dir = osp.join(full_path, "models")
+    recon_dir = osp.join(full_path, "reconstructions")
+
+    def on_chunk(epoch_end, st, logs):
+        ckpt.save_params(osp.join(models_dir, "model_current.npz"), st.params, spec)
+        ckpt.save_params(osp.join(models_dir, "model_best.npz"), st.best_params, spec)
+        ckpt.save_train_state(
+            osp.join(models_dir, "train_state.npz"),
+            st.params, st.opt_state, epoch_end, st.key,
+        )
+        if cfg.epochs_to_checkpoint and epoch_end % cfg.epochs_to_checkpoint == 0 \
+                and epoch_end < cfg.num_epochs:
+            ckpt.save_params(
+                osp.join(models_dir, f"model_{epoch_end}.npz"), st.params, spec
+            )
+        if verbose:
+            print(
+                f"Epoch: {epoch_end} - Loss: {float(logs['epoch_loss'][-1]):.6f}"
+                f" - Learning Rate: {float(logs['lr'][-1]):.3e}"
+            )
+
+    state, losses, train_time = trainer.run(callback=on_chunk)
+
+    # losses.csv (reference ``train.py:394-395``; ';' separator)
+    import pandas as pd
+
+    pd.DataFrame.from_dict(
+        {k: v for k, v in losses.items() if k not in ("lr", "epoch_loss")}
+    ).to_csv(osp.join(full_path, "losses.csv"), sep=";", index=False)
+
+    ckpt.save_params(osp.join(models_dir, "model_final.npz"), state.params, spec)
+
+    if verbose:
+        print("Generating distance field slices")
+    width = 512
+    pred = predicted_slice(state.best_params, spec, width)
+    gt_d = gt_plane_distances(cfg, pc, mesh, width)
+    render_slice_figure(pred, gt_d, cfg.gt_mode, cfg.alpha, width, recon_dir)
+
+    meshes = None
+    if make_meshes and cfg.resolution:
+        if verbose:
+            print("Generating mesh")
+        meshes = generate_final_meshes(state.best_params, spec, cfg, recon_dir)
+    return train_time, meshes, state
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        usage="python -m diffudf_tpu.cli.train path_to_experiment.json [device]"
+    )
+    parser.add_argument("experiment_path", type=str)
+    parser.add_argument("device", type=int, nargs="?", default=0,
+                        help="accepted for reference-CLI parity; devices are "
+                             "managed by JAX")
+    args = parser.parse_args(argv)
+    cfg = TrainConfig.from_json(args.experiment_path)
+    t, _, _ = setup_train(cfg)
+    print(f"Training time: {t:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -78,7 +78,11 @@ class SamplerStatic:
 
 @dataclasses.dataclass
 class TrainingSampler:
-    """Device-resident sampler. ``sample(key)`` is pure & jit-traceable."""
+    """Device-resident sampler. ``sample(key)`` is pure & jit-traceable.
+
+    Registered as a pytree (arrays = leaves, static config = metadata) so a
+    sampler instance can be passed straight through jit/scan boundaries.
+    """
 
     surface_points: jax.Array  # (N, 3) f32
     surface_normals: jax.Array  # (N, 3) f32
@@ -139,3 +143,10 @@ class TrainingSampler:
             [jnp.zeros((sz.on_surface,), jnp.float32), far_sdf, near_sdf], axis=0
         )[:, None]
         return points, normals, sdf
+
+
+jax.tree_util.register_dataclass(
+    TrainingSampler,
+    data_fields=["surface_points", "surface_normals", "tri_verts"],
+    meta_fields=["static"],
+)

@@ -1,0 +1,91 @@
+"""Chamfer distance + normal consistency, on device.
+
+Mirrors pytorch3d ``chamfer_distance`` semantics (used by the reference
+benchmark driver, ``cuantitative.py:10-19``):
+
+  * per-point distance under ``norm``: Σ|Δ|  (norm=1) or Σ Δ²  (norm=2, i.e.
+    *squared* Euclidean, no root) — nearest neighbours are found under the
+    same norm;
+  * chamfer = mean_x d(x→NN(y)) + mean_y d(y→NN(x))  (sum of both directional
+    means);
+  * normal consistency loss = mean_x (1 − |cos(n_x, n_NN)|) + mean_y (…)
+    (``abs_cosine=True`` semantics).
+
+Implementation: running (min, argmin) over reference-cloud chunks inside a
+``lax.scan`` — the Q×N distance matrix never materialises; the L2 path uses
+an MXU matmul per (tile × chunk) block.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@partial(jax.jit, static_argnames=("norm", "y_chunk"))
+def _nn_scan(x, y, norm: int, y_chunk: int):
+    """x: (Q, 3), y: (M, 3) with M % y_chunk == 0 -> (dists (Q,), idx (Q,))."""
+    q = x.shape[0]
+    m = y.shape[0]
+    chunks = y.reshape(m // y_chunk, y_chunk, 3)
+
+    def body(carry, inp):
+        best_d, best_i = carry
+        yc, base = inp
+        if norm == 2:
+            cross = x @ yc.T
+            d = (
+                jnp.sum(x * x, axis=1, keepdims=True)
+                - 2.0 * cross
+                + jnp.sum(yc * yc, axis=1)[None, :]
+            )
+        else:
+            d = jnp.sum(jnp.abs(x[:, None, :] - yc[None, :, :]), axis=-1)
+        local_i = jnp.argmin(d, axis=1)
+        local_d = jnp.take_along_axis(d, local_i[:, None], axis=1)[:, 0]
+        better = local_d < best_d
+        return (
+            jnp.where(better, local_d, best_d),
+            jnp.where(better, base + local_i, best_i),
+        ), None
+
+    init = (jnp.full((q,), jnp.inf, x.dtype), jnp.zeros((q,), jnp.int32))
+    bases = jnp.arange(0, m, y_chunk, dtype=jnp.int32)
+    (d, i), _ = lax.scan(body, init, (chunks, bases))
+    return jnp.maximum(d, 0.0), i
+
+
+def nearest_neighbor(x, y, norm: int = 2, y_chunk: int = 4096):
+    """-> (distances (Q,) under ``norm``, indices (Q,) into y)."""
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    m = y.shape[0]
+    pad = (-m) % y_chunk
+    if pad:
+        filler = jnp.full((pad, 3), 1e9, y.dtype)
+        y = jnp.concatenate([y, filler])
+    return _nn_scan(x, y, norm, y_chunk)
+
+
+def chamfer_distance(x, y, x_normals=None, y_normals=None, norm: int = 2):
+    """-> (chamfer, normal_consistency_loss or None).  Scalars as floats."""
+    dx, ix = nearest_neighbor(x, y, norm)
+    dy, iy = nearest_neighbor(y, x, norm)
+    cd = float(jnp.mean(dx) + jnp.mean(dy))
+    nc = None
+    if x_normals is not None and y_normals is not None:
+        xn = jnp.asarray(x_normals, jnp.float32)
+        yn = jnp.asarray(y_normals, jnp.float32)
+
+        def _ncdir(an, bn, idx):
+            bsel = bn[idx]
+            cos = jnp.sum(an * bsel, axis=1) / jnp.maximum(
+                jnp.linalg.norm(an, axis=1) * jnp.linalg.norm(bsel, axis=1), 1e-12
+            )
+            return jnp.mean(1.0 - jnp.abs(cos))
+
+        nc = float(_ncdir(xn, yn, ix) + _ncdir(yn, xn, iy))
+    return cd, nc

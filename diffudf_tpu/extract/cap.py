@@ -1,0 +1,85 @@
+"""CAP-UDF style mesh extraction, fully vectorised.
+
+Reference semantics (``src/render_mc.py:201-256``): for every grid cell whose
+minimum pseudo-UDF is below 0.008, flip the sign of corner values whose
+direction vector opposes the cell-anchor direction (dot < 0), and triangulate
+cells where the resulting signed field crosses zero.
+
+The reference is a pure-Python (N−1)³ triple loop calling PyMCubes per cell —
+its slowest component.  Here the per-cell sign logic runs as 8 shifted-array
+operations over the whole grid at once, and the surviving (compact) cells are
+triangulated in one vectorised marching-tetrahedra call.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .tet_mc import marching_tets_cells
+
+CAP_THRESHOLD = 0.008  # reference ``render_mc.py:205``
+
+
+def _corner_views(a: np.ndarray):
+    """8 (N-1)³ views of an N³ array, one per cell corner (tet_mc order)."""
+    return [
+        a[dx : a.shape[0] - 1 + dx, dy : a.shape[1] - 1 + dy, dz : a.shape[2] - 1 + dz]
+        for (dx, dy, dz) in [
+            (0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0),
+            (0, 0, 1), (1, 0, 1), (0, 1, 1), (1, 1, 1),
+        ]
+    ]
+
+
+def signed_cell_values(udf: np.ndarray, dirs: np.ndarray, threshold: float = CAP_THRESHOLD):
+    """-> (cell_origins (M, 3) int, cell_values (M, 8) signed) for active cells."""
+    udf = np.asarray(udf, dtype=np.float32)
+    dirs = np.asarray(dirs, dtype=np.float32)
+
+    uc = _corner_views(udf)  # 8 × (N-1)³
+    anchor = dirs[:-1, :-1, :-1]  # direction at corner (0,0,0) of each cell
+    dc = _corner_views_dirs(dirs)
+
+    min_udf = np.minimum.reduce(uc)
+    active = min_udf <= threshold
+    idx = np.argwhere(active)
+    if len(idx) == 0:
+        return idx, np.zeros((0, 8), np.float32)
+
+    ii, jj, kk = idx[:, 0], idx[:, 1], idx[:, 2]
+    anchor_a = anchor[ii, jj, kk]  # (M, 3)
+    vals = np.empty((len(idx), 8), np.float32)
+    for c in range(8):
+        v = uc[c][ii, jj, kk]
+        d = dc[c][ii, jj, kk]
+        flip = np.sum(anchor_a * d, axis=1) < 0
+        vals[:, c] = np.where(flip, -v, v)
+
+    crossing = vals.min(axis=1) < 0
+    return idx[crossing], vals[crossing]
+
+
+def _corner_views_dirs(dirs: np.ndarray):
+    return [
+        dirs[dx : dirs.shape[0] - 1 + dx, dy : dirs.shape[1] - 1 + dy,
+             dz : dirs.shape[2] - 1 + dz]
+        for (dx, dy, dz) in [
+            (0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0),
+            (0, 0, 1), (1, 0, 1), (0, 1, 1), (1, 1, 1),
+        ]
+    ]
+
+
+def extract_mesh_cap(udf, dirs, N: int, threshold: float = CAP_THRESHOLD):
+    """-> (verts (V, 3) in [-1, 1]³, faces (F, 3)).
+
+    udf: (N, N, N) pseudo distance field; dirs: (N, N, N, 3) direction field
+    (both from :func:`diffudf_tpu.grid.extract_fields`).
+    """
+    origins, vals = signed_cell_values(np.asarray(udf), np.asarray(dirs), threshold)
+    spacing = 2.0 / (N - 1)
+    verts, faces = marching_tets_cells(
+        origins.astype(np.float64), vals.astype(np.float64), spacing=spacing
+    )
+    verts = verts - 1.0  # lattice origin at [-1,-1,-1]
+    return verts, faces

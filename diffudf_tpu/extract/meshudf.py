@@ -1,0 +1,194 @@
+"""MeshUDF-style extraction: global pseudo-sign assignment + triangulation.
+
+The reference's native Cython module (``_marching_cubes_lewiner_cy.pyx:
+1116-1774``) interleaves three things: (1) gating cells near the surface,
+(2) assigning a pseudo-*sign* to each grid vertex by BFS voting on gradient
+agreement, (3) Lewiner-33 marching cubes.  Here the concerns are separated
+the TPU-framework way:
+
+  1. gates are vectorised array ops (``gate_cells``);
+  2. sign assignment is a *maximum-confidence spanning tree* sign
+     propagation over the near-surface vertex graph — edge relation −1 when
+     the two endpoint direction vectors indicate a surface crossing between
+     them (opposing projections along the edge), +1 otherwise; confidence =
+     product of projection magnitudes.  The priority-BFS the reference votes
+     with is exactly Prim's algorithm on this graph, which is what the
+     native C++ module implements (``native/udf_mc``); a scipy
+     minimum-spanning-tree fallback gives identical semantics without the
+     native build;
+  3. triangulation of the sign·udf field is the same vectorised marching
+     tetrahedra used by every other path (:mod:`.tet_mc`).
+
+Gate thresholds mirror the reference wrapper defaults
+(``_marching_cubes_lewiner.py:80``, ``render_mc.py:130-134``):
+avg(cell corner udf) < 1.05·voxel and max ≤ 1.75·voxel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .cap import _corner_views
+from .postprocess import clean_mesh, smooth_borders
+from .tet_mc import marching_tets_cells
+
+AVG_THRESH = 1.05
+MAX_THRESH = 1.75
+
+
+def edge_relations(udf: np.ndarray, dirs: np.ndarray, participate: np.ndarray):
+    """Relations for the 3 positive-axis edge families.
+
+    Returns list of (mask, rel_sign (+1/-1), confidence) arrays, each shaped
+    like the edge slab for that axis; mask marks edges whose both endpoints
+    participate.
+    """
+    out = []
+    for axis in range(3):
+        sl_a = [slice(None)] * 3
+        sl_b = [slice(None)] * 3
+        sl_a[axis] = slice(0, -1)
+        sl_b[axis] = slice(1, None)
+        sl_a, sl_b = tuple(sl_a), tuple(sl_b)
+        pa = dirs[sl_a][..., axis]
+        pb = dirs[sl_b][..., axis]
+        # dirs point TOWARD the surface (−∇udf); a crossing between a and b
+        # means dir_a points along +axis and dir_b along −axis: pa > 0 > pb.
+        crossing = (pa > 0) & (pb < 0)
+        # medial-axis case (pa < 0 < pb): distance locally maximal — same side
+        rel = np.where(crossing, -1.0, 1.0).astype(np.float32)
+        conf = np.abs(pa * pb).astype(np.float32)
+        mask = participate[sl_a] & participate[sl_b]
+        out.append((mask, rel, conf))
+    return out
+
+
+def _signs_scipy(udf, dirs, participate):
+    """Max-confidence spanning-tree sign propagation via scipy csgraph."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import breadth_first_order, minimum_spanning_tree
+
+    shape = udf.shape
+    n = udf.size
+    lin = np.arange(n).reshape(shape)
+
+    rows, cols, ws, rels = [], [], [], []
+    for axis, (mask, rel, conf) in enumerate(edge_relations(udf, dirs, participate)):
+        sl_a = [slice(None)] * 3
+        sl_b = [slice(None)] * 3
+        sl_a[axis] = slice(0, -1)
+        sl_b[axis] = slice(1, None)
+        a = lin[tuple(sl_a)][mask]
+        b = lin[tuple(sl_b)][mask]
+        rows.append(a)
+        cols.append(b)
+        # minimum spanning tree ⇒ weight = −confidence (small eps floor so
+        # zero-confidence edges still connect components)
+        ws.append(-(conf[mask] + 1e-12))
+        rels.append(rel[mask])
+
+    signs = np.ones(n, dtype=np.int8)
+    if not rows or sum(len(r) for r in rows) == 0:
+        return signs.reshape(shape)
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    ws = np.concatenate(ws)
+    rels = np.concatenate(rels)
+
+    graph = coo_matrix((ws, (rows, cols)), shape=(n, n)).tocsr()
+    mst = minimum_spanning_tree(graph)
+    mst_sym = (mst + mst.T).tocsr()
+
+    # vectorised (u, v) -> relation lookup over sorted symmetric keys
+    rel_keys = np.concatenate([rows * n + cols, cols * n + rows])
+    rel_vals = np.concatenate([rels, rels])
+    order_k = np.argsort(rel_keys, kind="stable")
+    rel_keys = rel_keys[order_k]
+    rel_vals = rel_vals[order_k]
+
+    visited = np.zeros(n, dtype=bool)
+    part_idx = np.flatnonzero(participate.reshape(-1))
+    # seed each component at its min-udf vertex
+    order_by_udf = part_idx[np.argsort(udf.reshape(-1)[part_idx])]
+    for seed in order_by_udf:
+        if visited[seed]:
+            continue
+        order, preds = breadth_first_order(mst_sym, seed, directed=False,
+                                           return_predecessors=True)
+        visited[order] = True
+        vs = order[1:]
+        if len(vs) == 0:
+            continue
+        ps = preds[vs]
+        pos = np.searchsorted(rel_keys, ps.astype(np.int64) * n + vs)
+        edge_rel = rel_vals[np.clip(pos, 0, len(rel_vals) - 1)]
+        # sequential propagation along BFS order (tree depth dependency)
+        for v, p, r in zip(vs, ps, edge_rel):
+            signs[v] = signs[p] * (1 if r >= 0 else -1)
+    return signs.reshape(shape)
+
+
+def compute_signs(udf: np.ndarray, dirs: np.ndarray, voxel_size: float,
+                  max_dist_voxels: float = 2.0 * MAX_THRESH):
+    """Pseudo-sign (+1/−1) per grid vertex. Native C++ when built, scipy
+    fallback otherwise (identical algorithm)."""
+    udf = np.ascontiguousarray(udf, np.float32)
+    dirs = np.ascontiguousarray(dirs, np.float32)
+    participate = udf < max_dist_voxels * voxel_size
+    try:
+        from ..native import udf_mc as native
+
+        return native.sign_voting(udf, dirs, participate)
+    except Exception:
+        return _signs_scipy(udf, dirs, participate)
+
+
+def gate_cells(udf: np.ndarray, voxel_size: float,
+               avg_thresh: float = AVG_THRESH, max_thresh: float = MAX_THRESH):
+    """(N-1)³ bool mask of cells allowed to triangulate (reference gates)."""
+    uc = _corner_views(udf)
+    avg = sum(uc) / 8.0
+    mx = np.maximum.reduce(uc)
+    return (avg < avg_thresh * voxel_size) & (mx <= max_thresh * voxel_size)
+
+
+def extract_mesh_meshudf(
+    udf,
+    dirs,
+    *,
+    smooth_borders_enabled: bool = True,
+    avg_thresh: float = AVG_THRESH,
+    max_thresh: float = MAX_THRESH,
+):
+    """-> (verts (V,3) in [-1,1]³, faces (F,3)), cleaned like the reference
+    (``render_mc.py:103-199``: cleanup loop + optional border smoothing)."""
+    udf = np.asarray(udf, np.float32)
+    udf = np.maximum(udf, 0.0)  # reference clamps negatives (render_mc.py:126)
+    dirs = np.asarray(dirs, np.float32)
+    N = udf.shape[0]
+    voxel = 2.0 / (N - 1)
+
+    signs = compute_signs(udf, dirs, voxel)
+    signed = udf * signs
+
+    gates = gate_cells(udf, voxel, avg_thresh, max_thresh)
+    uc = _corner_views(signed)
+    vals8 = None
+    idx = np.argwhere(gates)
+    if len(idx) == 0:
+        raise ValueError("Could not find surface in volume")
+    ii, jj, kk = idx[:, 0], idx[:, 1], idx[:, 2]
+    vals8 = np.stack([c[ii, jj, kk] for c in uc], axis=1)
+    crossing = (vals8.min(axis=1) < 0) & (vals8.max(axis=1) >= 0)
+    idx, vals8 = idx[crossing], vals8[crossing]
+    if len(idx) == 0:
+        raise ValueError("Could not find surface in volume")
+
+    verts, faces = marching_tets_cells(
+        idx.astype(np.float64), vals8.astype(np.float64), spacing=voxel
+    )
+    verts -= 1.0
+    verts, faces = clean_mesh(verts, faces)
+    if smooth_borders_enabled and len(faces):
+        verts = smooth_borders(verts, faces)
+    return verts, faces

@@ -1,0 +1,96 @@
+"""Pinhole camera: pixel rays, look-at orientation, domain-cube entry points.
+
+Host-side numpy mirror of the reference camera setup (``generate_st.py:
+9-101``): NDC pixel grid with per-pass jitter (anti-aliasing), a look-at
+rotation pointing the camera at the origin, and ray×cube-face intersection to
+find each ray's entry into the [-1, 1]³ field domain.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def pixel_rays(width: int, height: int, fov_degrees: float, noise: float = 0.5):
+    """(H·W, 3) camera-space ray directions through each pixel (z = −1)."""
+    nx = (np.arange(width) + noise) / width
+    ny = (np.arange(height) + noise) / height
+    sx = 2 * nx - 1
+    sy = 2 * ny - 1
+    aspect = width / height
+    t = np.tan(np.radians(fov_degrees) / 2)
+    cx, cy = np.meshgrid(sx * aspect * t, sy * t, indexing="xy")
+    rays = np.stack([cx, cy, -np.ones_like(cx)], axis=-1)
+    return rays.reshape(-1, 3)
+
+
+def look_at_rotation(camera_position: np.ndarray) -> np.ndarray:
+    """Rotation turning −ẑ toward the origin from ``camera_position``
+    (``generate_st.py:45-61`` semantics, including the degenerate branches)."""
+    a = np.array([0.0, 0.0, -1.0])
+    b = -np.asarray(camera_position, dtype=np.float64)
+    b = b / np.linalg.norm(b)
+    d = a @ b
+    if np.isclose(d, -1.0):
+        return np.array([[-1.0, 0, 0], [0, 1.0, 0], [0, 0, -1.0]])
+    if np.isclose(d, 1.0):
+        return np.eye(3)
+    up = np.array([0.0, 1.0, 0.0]) - (np.array([0.0, 1.0, 0.0]) @ b) * b
+    up /= np.linalg.norm(up)
+    right = np.cross(up, b)
+    return np.vstack([right, up, b]).T
+
+
+def world_rays(width, height, fov, camera_position, noise: float = 0.5):
+    """Unit world-space ray directions from the camera through each pixel.
+
+    Matches the reference's (idiosyncratic but image-correct) construction
+    ``generate_st.py:63-66``: rotate pixel positions, translate by the camera,
+    normalise, negate.
+    """
+    cam = np.asarray(camera_position, dtype=np.float64)
+    R = look_at_rotation(cam)
+    p = pixel_rays(width, height, fov, noise)
+    d = (R @ p.T).T + cam
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return -d
+
+
+def cube_entry_points(ray_dirs: np.ndarray, camera_position, planes=None):
+    """Entry point of each ray into the axis-aligned domain cube.
+
+    -> (start_positions (N, 3), valid_mask (N,)).  Reference semantics
+    (``generate_st.py:68-101``): intersect with the 6 face planes, keep
+    intersections inside the cube (±1.001 tolerance), take the nearest
+    non-negative t.
+    """
+    cam = np.asarray(camera_position, dtype=np.float64)
+    p_pos = planes if planes is not None else [1, -1, 1, -1, 1, -1]
+    plane_normals = np.array(
+        [[1, 0, 0], [1, 0, 0], [0, 1, 0], [0, 1, 0], [0, 0, 1], [0, 0, 1]],
+        dtype=np.float64,
+    )
+    plane_points = np.array(
+        [
+            [p_pos[0], 0, 0], [p_pos[1], 0, 0],
+            [0, p_pos[2], 0], [0, p_pos[3], 0],
+            [0, 0, p_pos[4]], [0, 0, p_pos[5]],
+        ],
+        dtype=np.float64,
+    ) - cam
+
+    num = np.sum(plane_points * plane_normals, axis=-1)  # (6,)
+    den = ray_dirs @ plane_normals.T  # (N, 6)
+    safe_den = np.where(np.abs(den) < 1e-5, 1.0, den)
+    ds = num[None, :] / safe_den
+
+    hits = ray_dirs[:, None, :] * ds[..., None] + cam  # (N, 6, 3)
+    inside = np.all((hits >= -1.001) & (hits <= 1.001), axis=-1) & (np.abs(den) > 1e-5)
+    ds = np.where((ds >= 0) & inside, ds, np.inf)
+    t_entry = ds.min(axis=-1)
+    # improvement over the reference (generate_st.py:98-99): a ray whose only
+    # cube intersections lie behind the camera is invalid, not inf-positioned
+    valid = inside.any(axis=-1) & np.isfinite(t_entry)
+    start = np.zeros_like(ray_dirs)
+    start[valid] = ray_dirs[valid] * t_entry[valid, None] + cam
+    return start, valid

@@ -31,3 +31,34 @@ def rng():
 @pytest.fixture
 def key():
     return jax.random.PRNGKey(123)
+
+
+@pytest.fixture(scope="session")
+def trained_sphere():
+    """A small SIREN fitted to the tanh-UDF of a sphere (r=0.7, α=10).
+
+    Session-scoped: trained once, shared by render / pc / integration tests.
+    Returns (params, spec, radius, alpha).
+    """
+    from diffudf_tpu.config import TrainConfig
+    from diffudf_tpu.data.sampling import TrainingSampler
+    from diffudf_tpu.fields.siren import SirenSpec
+    from diffudf_tpu.train.loop import Trainer
+
+    r, alpha = 0.7, 10.0
+    rng = np.random.default_rng(7)
+    pts = rng.normal(size=(3000, 3)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    pts *= r
+    cfg = TrainConfig(
+        num_epochs=300, s1_epochs=300, warmup_epochs=20,
+        warmup_lr=1e-4, lr_s1=1e-4, lr_s2=1e-6,
+        batch_size=512, alpha=alpha,
+    )
+    spec = SirenSpec(hidden=(64, 64, 64))
+    sampler = TrainingSampler.from_point_cloud(
+        pts, pts / r, cfg.batch_size, cfg.sampling_percentiles
+    )
+    trainer = Trainer(spec, sampler, cfg)
+    state, losses, _ = trainer.run(chunk_size=100)
+    return state.best_params, spec, r, alpha

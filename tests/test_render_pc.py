@@ -1,0 +1,164 @@
+"""Sphere tracer, camera, shading and point-cloud extraction tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffudf_tpu.render.camera import cube_entry_points, look_at_rotation, world_rays
+from diffudf_tpu.render.tracer import trace_rays, hit_attributes
+from diffudf_tpu.render.shading import phong_shading, ward_reflectance
+from diffudf_tpu.pc.sampler import (
+    generate_point_cloud,
+    orient_normals_consistent,
+    project_points,
+)
+
+
+class TestCamera:
+    def test_look_at_points_to_origin(self):
+        cam = np.array([2.0, 1.0, 3.0])
+        R = look_at_rotation(cam)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+        # end-to-end: the central ray points from the camera toward the origin
+        rays = world_rays(33, 33, 60, cam, noise=0.5)
+        central = rays.reshape(33, 33, 3)[16, 16]
+        want = -cam / np.linalg.norm(cam)
+        cos = central @ want
+        assert cos > 0.999
+
+    def test_rays_hit_cube(self):
+        cam = [0.9, 0.7, 2.9]
+        rays = world_rays(64, 64, 120, cam, noise=0.5)
+        start, valid = cube_entry_points(rays, cam)
+        assert valid.sum() > 100
+        # entry points lie on the cube boundary
+        on_face = np.isclose(np.abs(start[valid]).max(axis=1), 1.0, atol=2e-3)
+        assert on_face.mean() > 0.99
+
+    def test_rays_miss(self):
+        cam = [5.0, 0.0, 0.0]
+        rays = np.array([[1.0, 0.0, 0.0]])  # pointing away from the cube
+        start, valid = cube_entry_points(rays, cam)
+        assert not valid[0]
+
+
+class TestTracer:
+    def test_trace_sphere(self, trained_sphere):
+        params, spec, r, alpha = trained_sphere
+        cam = [0.0, 0.0, 2.5]
+        rays = world_rays(48, 48, 60, cam, noise=0.5)
+        t0, valid = cube_entry_points(rays, cam)
+        pos, hits, iters = trace_rays(
+            params, spec, jnp.asarray(t0, jnp.float32), jnp.asarray(rays, jnp.float32),
+            jnp.asarray(valid), gt_mode="tanh", alpha=alpha,
+            surface_threshold=0.01, max_iterations=80,
+        )
+        hits = np.asarray(hits)
+        pos = np.asarray(pos)
+        assert hits.sum() > 200  # the sphere covers a good part of the frame
+        rr = np.linalg.norm(pos[hits], axis=1)
+        # hit points on the r=0.7 sphere (tracer tolerance ~ inverse(thresh));
+        # silhouette-grazing rays can land off the sphere — bulk percentiles
+        assert np.percentile(np.abs(rr - r), 99) < 0.08
+        assert np.median(np.abs(rr - r)) < 0.03
+        # central region hits, corner rays (outside the sphere silhouette) miss
+        hits_img = hits.reshape(48, 48)
+        assert hits_img[20:28, 20:28].mean() > 0.5
+        assert not hits_img[:4, :4].any()
+
+    def test_hit_attributes_normals_radial(self, trained_sphere):
+        params, spec, r, alpha = trained_sphere
+        rng = np.random.default_rng(0)
+        pts = rng.normal(size=(4096, 3)).astype(np.float32)
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        pts *= r
+        attrs = hit_attributes(params, spec, jnp.asarray(pts), curvature_mode="none")
+        normals = np.asarray(attrs["normals"])
+        radial = pts / r
+        cos = np.abs(np.sum(normals * radial, axis=1))
+        assert np.median(cos) > 0.97
+
+    def test_mean_curvature_of_sphere(self, trained_sphere):
+        params, spec, r, alpha = trained_sphere
+        rng = np.random.default_rng(1)
+        pts = rng.normal(size=(512, 3)).astype(np.float32)
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        pts *= r
+        attrs = hit_attributes(
+            params, spec, jnp.asarray(pts), curvature_mode="mean", tile=512
+        )
+        curv = np.asarray(attrs["curvature"])
+        # |mean curvature| of the normal field on a sphere of radius r ≈ 1/r;
+        # learned fields are noisy — check the bulk magnitude
+        assert 0.3 / r < np.median(np.abs(curv)) < 3.0 / r
+
+
+class TestShading:
+    def _setup(self):
+        n = 16
+        samples = np.random.default_rng(2).normal(size=(n, 3))
+        hits = np.zeros(n, bool)
+        hits[:8] = True
+        normals = np.tile(np.array([0.0, 0.0, 1.0]), (8, 1))
+        return samples, hits, normals
+
+    def test_phong_range(self):
+        samples, hits, normals = self._setup()
+        colors = phong_shading([1, 2, 10], 40, hits, samples, normals)
+        assert colors.shape == samples.shape
+        assert (colors[hits] <= 0.9 + 1e-9).all() and (colors[hits] >= 0).all()
+        np.testing.assert_allclose(colors[~hits], 1.0)
+
+    def test_ward_finite(self):
+        samples, hits, normals = self._setup()
+        pc1 = np.tile(np.array([1.0, 0, 0]), (8, 1))
+        pc2 = np.tile(np.array([0.0, 1.0, 0]), (8, 1))
+        colors = ward_reflectance([1, 2, 10], [0, 0, 3], hits, samples, normals,
+                                  0.2, 0.2, pc1, pc2)
+        assert np.isfinite(colors).all()
+
+    def test_phong_colormap(self):
+        samples, hits, normals = self._setup()
+        cmap = np.tile(np.array([[1.0, 0.0, 0.0]]), (8, 1))
+        colors = phong_shading([0, 0, 10], -1, hits, samples, normals, color_map=cmap)
+        # red channel dominates for colormapped hits
+        assert (colors[hits][:, 0] >= colors[hits][:, 1]).all()
+
+
+class TestPointCloud:
+    def test_projection_converges(self, trained_sphere):
+        params, spec, r, alpha = trained_sphere
+        x0 = jax.random.uniform(jax.random.PRNGKey(3), (2048, 3), minval=-1, maxval=1)
+        x, step, normals = project_points(
+            params, spec, x0, gt_mode="tanh", alpha=alpha,
+            num_steps=6, want_hessian_normals=True,
+        )
+        x = np.asarray(x)
+        close = np.abs(np.linalg.norm(x, axis=1) - r) < 0.05
+        # uniform starts include points whose projection path stalls in
+        # poorly-fit far-field regions; half converging in 6 steps is healthy
+        assert close.mean() > 0.45
+
+    def test_generate_point_cloud(self, trained_sphere):
+        params, spec, r, alpha = trained_sphere
+        pts, normals = generate_point_cloud(
+            params, spec, gt_mode="tanh", alpha=alpha,
+            num_steps=6, num_points=2000, surf_thresh=0.01, max_iter=20,
+        )
+        assert len(pts) >= 2000
+        rr = np.linalg.norm(pts, axis=1)
+        assert np.median(np.abs(rr - r)) < 0.03
+        cos = np.abs(np.sum(normals * (pts / rr[:, None]), axis=1))
+        assert np.median(cos) > 0.95
+
+    def test_orient_normals(self):
+        rng = np.random.default_rng(5)
+        pts = rng.normal(size=(500, 3))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        outward = pts.copy()
+        flipped = outward * np.where(rng.random(500)[:, None] < 0.5, -1.0, 1.0)
+        oriented = orient_normals_consistent(pts, flipped, k=10)
+        cos = np.sum(oriented * outward, axis=1)
+        # consistent: (almost) all point the same way
+        assert (np.abs(np.sign(cos).sum()) / 500) > 0.95

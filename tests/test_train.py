@@ -1,0 +1,236 @@
+"""Training-layer tests: loss parity vs torch autograd, schedule, end-to-end fit."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffudf_tpu.config import TrainConfig
+from diffudf_tpu.fields import SirenSpec, init_siren
+from diffudf_tpu.data.sampling import TrainingSampler
+from diffudf_tpu.train import loss_s1, loss_s2, loss_siren, lr_for_epoch, Trainer
+from diffudf_tpu.train import checkpoint as ckpt
+from diffudf_tpu.autodiff import value_grad
+
+
+def _torch_field(params, spec, x):
+    """Independent torch forward with autograd graph (float64)."""
+    import torch
+
+    h = x
+    for i, layer in enumerate(params[:-1]):
+        W = torch.tensor(np.asarray(layer["w"], dtype=np.float64))
+        b = torch.tensor(np.asarray(layer["b"], dtype=np.float64))
+        h = torch.sin(spec.freqs[i] * (h @ W + b))
+    W = torch.tensor(np.asarray(params[-1]["w"], dtype=np.float64))
+    b = torch.tensor(np.asarray(params[-1]["b"], dtype=np.float64))
+    return h @ W + b
+
+
+def torch_loss_s1(params, spec, pts, normals, sdf, weights, alpha):
+    """Literal re-derivation of the DUDF stage-1 loss with torch autograd."""
+    import torch
+
+    x = torch.tensor(pts, dtype=torch.float64, requires_grad=True)
+    f = _torch_field(params, spec, x)  # (N, 1)
+    udf = torch.tensor(sdf, dtype=torch.float64)
+    gt_n = torch.tensor(normals, dtype=torch.float64)
+
+    tan = torch.tanh(alpha * udf)
+    tdf = udf * tan
+
+    grad = torch.autograd.grad(f.sum(), x, create_graph=True)[0]
+    rows = [
+        torch.autograd.grad(grad[:, i].sum(), x, create_graph=True)[0]
+        for i in range(3)
+    ]
+    hess = torch.stack(rows, dim=1)  # (N, 3, 3)
+    _, vecs = torch.linalg.eigh(hess)
+    pred_n = vecs[..., 2]
+
+    on = (udf[:, 0] == 0)
+    cos = torch.nn.functional.cosine_similarity(gt_n, pred_n, dim=-1)
+    terms = {
+        "sdf_on_surf": torch.where(on, f[:, 0].abs(), torch.zeros_like(on, dtype=f.dtype)).mean() * weights[0],
+        "sdf_off_surf": torch.where(~on, (tdf - f)[:, 0].abs(), torch.zeros_like(on, dtype=f.dtype)).mean() * weights[1],
+        "hessian_constraint": torch.where(on, 1 - cos.abs(), torch.zeros_like(on, dtype=f.dtype)).mean() * weights[2],
+        "grad_constraint": (grad.norm(dim=-1) - (tan + udf * alpha * (1 - tan**2)).abs()[:, 0]).abs().mean() * weights[3],
+    }
+    return {k: float(v) for k, v in terms.items()}
+
+
+def make_batch(rng, n_on=32, n_off=64):
+    pts_on = rng.normal(size=(n_on, 3))
+    pts_on /= np.linalg.norm(pts_on, axis=1, keepdims=True)
+    normals_on = pts_on.copy()
+    pts_off = rng.uniform(-1, 1, size=(n_off, 3))
+    d_off = np.abs(np.linalg.norm(pts_off, axis=1) - 1.0)
+    pts = np.concatenate([pts_on, pts_off]).astype(np.float32)
+    normals = np.concatenate([normals_on, np.zeros((n_off, 3))]).astype(np.float32)
+    sdf = np.concatenate([np.zeros(n_on), d_off]).astype(np.float32)[:, None]
+    return pts, normals, sdf
+
+
+class TestLossParity:
+    def test_loss_s1_matches_torch(self, rng):
+        spec = SirenSpec(hidden=(32, 32))
+        params = init_siren(jax.random.PRNGKey(3), spec)
+        pts, normals, sdf = make_batch(rng)
+        weights, alpha = (1e4, 1e4, 1e4, 1e3), 10.0
+        got = loss_s1(params, spec, jnp.asarray(pts), jnp.asarray(normals),
+                      jnp.asarray(sdf), weights, alpha)
+        want = torch_loss_s1(params, spec, pts, normals, sdf, weights, alpha)
+        for k in want:
+            assert float(got[k]) == pytest.approx(want[k], rel=2e-2, abs=2e-2), k
+
+    def test_loss_s2_mean_std(self, rng):
+        spec = SirenSpec(hidden=(16,))
+        params = init_siren(jax.random.PRNGKey(4), spec)
+        pts, normals, sdf = make_batch(rng)
+        terms = loss_s2(params, spec, jnp.asarray(pts), jnp.asarray(normals),
+                        jnp.asarray(sdf), (1.0, 1.0), 10.0)
+        # independent: evaluate field on the on-surface rows
+        from diffudf_tpu.autodiff import value
+
+        f = np.asarray(value(params, spec, jnp.asarray(pts)))[sdf[:, 0] == 0]
+        assert float(terms["sdf_on_surf"]) == pytest.approx(abs(f.mean()), rel=1e-4)
+        assert float(terms["std_on_surf"]) == pytest.approx(f.std(ddof=1), rel=1e-3)
+
+    def test_loss_s1_weight_gating(self, rng):
+        # zero hessian/grad weights must still produce the other terms
+        spec = SirenSpec(hidden=(16,))
+        params = init_siren(jax.random.PRNGKey(5), spec)
+        pts, normals, sdf = make_batch(rng)
+        terms = loss_s1(params, spec, jnp.asarray(pts), jnp.asarray(normals),
+                        jnp.asarray(sdf), (1.0, 1.0, 0.0, 0.0), 10.0)
+        assert float(terms["hessian_constraint"]) == 0.0
+        assert float(terms["grad_constraint"]) == 0.0
+        assert float(terms["sdf_on_surf"]) > 0
+
+    def test_loss_siren_eikonal(self, rng):
+        spec = SirenSpec(hidden=(16,))
+        params = init_siren(jax.random.PRNGKey(6), spec)
+        pts, normals, sdf = make_batch(rng)
+        terms = loss_siren(params, spec, jnp.asarray(pts), jnp.asarray(normals),
+                           jnp.asarray(sdf), (1.0, 1.0, 1.0, 1.0))
+        assert set(terms) == {"sdf_on_surf", "sdf_off_surf", "normal_constraint", "grad_constraint"}
+        assert all(np.isfinite(float(v)) for v in terms.values())
+
+
+class TestSchedule:
+    def test_stages(self):
+        kw = dict(num_epochs=3000, s1_epochs=2000, warmup_epochs=1000,
+                  warmup_lr=1e-4, lr_s1=1e-5, lr_s2=1e-7)
+        assert float(lr_for_epoch(0, **kw)) == pytest.approx(1e-4)
+        assert float(lr_for_epoch(999, **kw)) == pytest.approx(1e-4)
+        assert float(lr_for_epoch(1000, **kw)) == pytest.approx(1e-5)
+        assert float(lr_for_epoch(1999, **kw)) == pytest.approx(1e-5)
+        # s2 cosine: starts at lr_s2, decays to 0
+        assert float(lr_for_epoch(2000, **kw)) == pytest.approx(1e-7)
+        assert float(lr_for_epoch(2500, **kw)) == pytest.approx(0.5e-7, rel=1e-3)
+        assert float(lr_for_epoch(3000, **kw)) == pytest.approx(0.0, abs=1e-12)
+
+
+class TestConfig:
+    def test_reference_json_parses(self, tmp_path):
+        import json
+
+        ref = {
+            "num_epochs": 3000, "s1_epochs": 2000, "warmup_epochs": 1000,
+            "dataset": "data/beetle/beetle", "batch_size": 30000,
+            "sampling_percentiles": [0.333, 0.666], "batches_per_epoch": 1,
+            "checkpoint_path": "results/beetle/", "experiment_name": "experiment_1",
+            "epochs_to_checkpoint": 8001, "gt_mode": "tanh",
+            "loss_s1_weights": [1e4, 1e4, 1e4, 1e3], "loss_s2_weights": [1e5, 1e5],
+            "alpha": 100,
+            "optimizer": {"type": "adam", "lr_s1": 1e-5, "lr_s2": 1e-7},
+            "network": {"hidden_layer_nodes": [256] * 8, "w0": 30, "pretrained_dict": "None"},
+            "resolution": 256, "onlyPCloud": True,
+        }
+        p = tmp_path / "cfg.json"
+        p.write_text(json.dumps(ref))
+        cfg = TrainConfig.from_json(str(p))
+        assert cfg.alpha == 100
+        assert cfg.s1_epochs == 2000
+        assert cfg.only_pcloud is True
+        assert cfg.network.to_spec().hidden == (256,) * 8
+        # roundtrip keeps the reference keys
+        d = cfg.to_dict()
+        assert d["onlyPCloud"] is True
+        assert d["optimizer"]["lr_s1"] == 1e-5
+
+
+def sphere_sampler(rng, n_cloud=2000, batch=384):
+    pts = rng.normal(size=(n_cloud, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    pts *= 0.7
+    return TrainingSampler.from_point_cloud(
+        pts.astype(np.float32), (pts / 0.7).astype(np.float32), batch, [0.333, 0.666]
+    )
+
+
+class TestTrainer:
+    def test_end_to_end_fit_sphere(self, rng):
+        cfg = TrainConfig(
+            num_epochs=400, s1_epochs=350, warmup_epochs=20,
+            warmup_lr=1e-4, lr_s1=1e-4, lr_s2=1e-6,
+            batch_size=384, alpha=10.0, batches_per_epoch=1,
+        )
+        spec = SirenSpec(hidden=(64, 64, 64))
+        sampler = sphere_sampler(rng)
+        trainer = Trainer(spec, sampler, cfg)
+        state, losses, t = trainer.run(chunk_size=100)
+        assert losses["total"].shape == (400,)
+        # loss must drop substantially over s1
+        first = np.nanmean(losses["total"][:10])
+        last = np.nanmean(losses["total"][340:350])
+        assert last < first * 0.4
+        # learned field ≈ d·tanh(α·d) on a test shell
+        q = rng.normal(size=(256, 3)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        q *= 0.9  # 0.2 outside the sphere
+        f, g = value_grad(state.best_params, spec, jnp.asarray(q))
+        d = 0.2
+        target = d * np.tanh(10.0 * d)
+        assert abs(float(jnp.mean(f)) - target) < 0.08, (float(jnp.mean(f)), target)
+
+    def test_best_tracking_and_chunks(self, rng):
+        cfg = TrainConfig(num_epochs=40, s1_epochs=30, warmup_epochs=0,
+                          lr_s1=1e-4, lr_s2=1e-6, batch_size=192, alpha=10.0)
+        spec = SirenSpec(hidden=(32,))
+        trainer = Trainer(spec, sphere_sampler(rng, batch=192), cfg)
+        seen = []
+        state, losses, _ = trainer.run(chunk_size=16, callback=lambda e, s, l: seen.append(e))
+        # chunk edges respect the stage boundary at 30
+        assert 30 in seen and seen[-1] == 40
+        assert float(state.best_loss) <= np.nanmin(losses["epoch_loss"]) + 1e-6
+        # both stages logged their terms
+        assert np.isfinite(losses["hessian_constraint"][:30]).all()
+        assert np.isfinite(losses["std_on_surf"][30:]).all()
+
+    def test_checkpoint_roundtrip(self, tmp_path, rng):
+        spec = SirenSpec(hidden=(16, 16))
+        params = init_siren(jax.random.PRNGKey(0), spec)
+        p = str(tmp_path / "model.npz")
+        ckpt.save_params(p, params, spec)
+        params2 = ckpt.load_params(p)
+        spec2 = ckpt.load_spec(p)
+        assert spec2 == spec
+        for a, b in zip(params, params2):
+            np.testing.assert_array_equal(np.asarray(a["w"]), np.asarray(b["w"]))
+
+    def test_train_state_resume(self, tmp_path, rng):
+        cfg = TrainConfig(num_epochs=10, s1_epochs=8, batch_size=96, alpha=10.0,
+                          lr_s1=1e-4, lr_s2=1e-6, warmup_epochs=0)
+        spec = SirenSpec(hidden=(16,))
+        trainer = Trainer(spec, sphere_sampler(rng, batch=96), cfg)
+        state = trainer.init_state()
+        state, _, _ = trainer.run(state=state, chunk_size=5)
+        p = str(tmp_path / "state.npz")
+        ckpt.save_train_state(p, state.params, state.opt_state, 10, state.key)
+        tmpl = trainer.init_state()
+        params, opt_state, epoch, key = ckpt.load_train_state(p, tmpl.params, tmpl.opt_state)
+        assert epoch == 10
+        np.testing.assert_array_equal(
+            np.asarray(params[0]["w"]), np.asarray(state.params[0]["w"])
+        )
