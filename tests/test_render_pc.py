@@ -52,7 +52,7 @@ class TestTracer:
         pos, hits, iters = trace_rays(
             params, spec, jnp.asarray(t0, jnp.float32), jnp.asarray(rays, jnp.float32),
             jnp.asarray(valid), gt_mode="tanh", alpha=alpha,
-            surface_threshold=0.01, max_iterations=80,
+            surface_threshold=0.02, max_iterations=80,
         )
         hits = np.asarray(hits)
         pos = np.asarray(pos)
