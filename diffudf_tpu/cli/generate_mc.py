@@ -26,9 +26,17 @@ from ..grid.lattice import extract_fields, extract_sdf_grid
 from ..train import checkpoint as ckpt
 
 
+VALID_ALGORITHMS = ("meshudf", "cap", "both", "siren")
+
+
 def run_mc(params, spec, gt_mode, N, output_path, alpha=None, algorithm="meshudf",
            mesh=None):
     """Extract and save mesh(es); returns Mesh or (meshMU, meshCAP)."""
+    if algorithm not in VALID_ALGORITHMS:
+        raise ValueError(
+            f"Invalid algorithm {algorithm!r}; expected one of {VALID_ALGORITHMS}"
+        )
+    ckpt.check_params_match_spec(params, spec)
     if algorithm == "siren":
         sdf = np.asarray(extract_sdf_grid(params, spec, N, mesh=mesh))
         verts, faces = extract_mesh_signed(sdf)

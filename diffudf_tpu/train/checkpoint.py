@@ -80,6 +80,19 @@ def load_train_state(path: str, params_template, opt_state_template):
     return params, opt_state, int(data["epoch"]), jnp.asarray(data["key"])
 
 
+def check_params_match_spec(params, spec: SirenSpec):
+    """Raise a clear error when a checkpoint doesn't match the configured
+    architecture (otherwise it surfaces as an opaque matmul shape error)."""
+    dims = spec.layer_dims
+    got = [int(p["w"].shape[0]) for p in params] + [int(params[-1]["w"].shape[1])]
+    want = list(dims)
+    if got != want or len(params) != len(dims) - 1:
+        raise ValueError(
+            f"checkpoint layer dims {got} do not match configured architecture "
+            f"{want}; check hidden_layer_nodes in the config"
+        )
+
+
 def create_output_paths(checkpoint_path: str, experiment_name: str, overwrite: bool = False):
     """Mirror of reference ``src/util.py:10-22``: refuse to clobber unless asked."""
     full_path = os.path.join(".", checkpoint_path, experiment_name)
