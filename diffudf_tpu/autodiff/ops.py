@@ -74,50 +74,63 @@ def _bmm(t: jax.Array, w: jax.Array) -> jax.Array:
     return (t.reshape(n * k, h) @ w).reshape(n, k, -1)
 
 
-def value_grad(params, spec: SirenSpec, x: jax.Array):
-    """Fused (f, ∇f): (N, 3) -> ((N,), (N, 3)).  Cost ≈ 4 forward matmuls."""
+def value_grad(params, spec: SirenSpec, x: jax.Array, deriv_dtype=None):
+    """Fused (f, ∇f): (N, 3) -> ((N,), (N, 3)).  Cost ≈ 4 forward matmuls.
+
+    ``deriv_dtype=jnp.bfloat16`` carries the Jacobian in bf16 (the value
+    path stays f32): ~2× less HBM traffic on the bandwidth-bound TPU step
+    at ~0.4% relative derivative error.  Outputs are always f32.
+    """
     if spec.n_out != 1:
         raise ValueError("gradient ops require a scalar field (n_out == 1)")
+    dd = x.dtype if deriv_dtype is None else deriv_dtype
     freqs = spec.freqs
     n = x.shape[0]
     a = x
-    jac = jnp.broadcast_to(jnp.eye(3, dtype=x.dtype), (n, 3, 3))
+    jac = jnp.broadcast_to(jnp.eye(3, dtype=dd), (n, 3, 3))
     for i, layer in enumerate(params[:-1]):
         w = layer["w"]
         z = a @ w + layer["b"]
-        jz = _bmm(jac, w)  # (N, 3, h)
+        jz = _bmm(jac, w.astype(dd))  # (N, 3, h)
         a, d1, _ = _act(spec, freqs[i], z)
-        jac = d1[:, None, :] * jz
+        jac = d1.astype(dd)[:, None, :] * jz
     last = params[-1]
     f = (a @ last["w"] + last["b"])[..., 0]
-    g = _bmm(jac, last["w"])[..., 0]
+    g = _bmm(jac, last["w"].astype(dd))[..., 0].astype(x.dtype)
     return f, g
 
 
-def value_grad_hessian(params, spec: SirenSpec, x: jax.Array):
+def value_grad_hessian(params, spec: SirenSpec, x: jax.Array, deriv_dtype=None):
     """Fused (f, ∇f, H): (N, 3) -> ((N,), (N, 3), (N, 3, 3)).
 
     One forward pass, ~10 forward-sized matmuls; replaces the reference's
     1 forward + 4 reverse passes (``src/evaluate.py:28-32``).
     """
-    f, g, h6 = value_grad_hessian_packed(params, spec, x)
+    f, g, h6 = value_grad_hessian_packed(params, spec, x, deriv_dtype)
     return f, g, hess_from_packed(h6)
 
 
-def value_grad_hessian_packed(params, spec: SirenSpec, x: jax.Array):
-    """Like :func:`value_grad_hessian` but the Hessian stays packed as (N, 6)."""
+def value_grad_hessian_packed(params, spec: SirenSpec, x: jax.Array, deriv_dtype=None):
+    """Like :func:`value_grad_hessian` but the Hessian stays packed as (N, 6).
+
+    ``deriv_dtype``: dtype for the J/H carries (see :func:`value_grad`);
+    the step is HBM-bandwidth-bound and the J/H tensors are ~90% of the
+    traffic, so bf16 here buys ~1.8× on the training step.
+    """
     if spec.n_out != 1:
         raise ValueError("gradient ops require a scalar field (n_out == 1)")
+    dd = x.dtype if deriv_dtype is None else deriv_dtype
     freqs = spec.freqs
     n = x.shape[0]
     a = x
-    jac = jnp.broadcast_to(jnp.eye(3, dtype=x.dtype), (n, 3, 3))
-    hes = jnp.zeros((n, 6, 3), dtype=x.dtype)
+    jac = jnp.broadcast_to(jnp.eye(3, dtype=dd), (n, 3, 3))
+    hes = jnp.zeros((n, 6, 3), dtype=dd)
     for i, layer in enumerate(params[:-1]):
         w = layer["w"]
+        wd = w.astype(dd)
         z = a @ w + layer["b"]
-        jz = _bmm(jac, w)  # (N, 3, h)
-        hz = _bmm(hes, w)  # (N, 6, h)
+        jz = _bmm(jac, wd)  # (N, 3, h)
+        hz = _bmm(hes, wd)  # (N, 6, h)
         a, d1, d2 = _act(spec, freqs[i], z)
         # outer products (J·W)ᵢ (J·W)ⱼ for the 6 packed components — built
         # from static slices (a fancy-index gather here transposes to a
@@ -126,12 +139,12 @@ def value_grad_hessian_packed(params, spec: SirenSpec, x: jax.Array):
         outer = jnp.stack(
             [jx * jx, jx * jy, jx * jzc, jy * jy, jy * jzc, jzc * jzc], axis=1
         )  # (N, 6, h)
-        jac = d1[:, None, :] * jz
-        hes = d1[:, None, :] * hz + d2[:, None, :] * outer
+        jac = d1.astype(dd)[:, None, :] * jz
+        hes = d1.astype(dd)[:, None, :] * hz + d2.astype(dd)[:, None, :] * outer
     last = params[-1]
     f = (a @ last["w"] + last["b"])[..., 0]
-    g = _bmm(jac, last["w"])[..., 0]
-    h6 = _bmm(hes, last["w"])[..., 0]
+    g = _bmm(jac, last["w"].astype(dd))[..., 0].astype(x.dtype)
+    h6 = _bmm(hes, last["w"].astype(dd))[..., 0].astype(x.dtype)
     return f, g, h6
 
 

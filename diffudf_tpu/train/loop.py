@@ -95,15 +95,16 @@ class Trainer:
 
     def _loss_terms(self, stage, params, points, normals, sdf):
         cfg = self.cfg
+        dd = jnp.dtype(cfg.deriv_dtype) if cfg.deriv_dtype else None
         if stage == "s1":
             return loss_s1(params, self.spec, points, normals, sdf,
-                           cfg.loss_s1_weights, cfg.alpha)
+                           cfg.loss_s1_weights, cfg.alpha, deriv_dtype=dd)
         if stage == "s2":
             return loss_s2(params, self.spec, points, normals, sdf,
                            cfg.loss_s2_weights, cfg.alpha)
         if stage == "siren":
             return loss_siren(params, self.spec, points, normals, sdf,
-                              cfg.loss_weights)
+                              cfg.loss_weights, deriv_dtype=dd)
         raise ValueError(stage)
 
     def _lr(self, stage, epoch):

@@ -31,8 +31,13 @@ def _cosine_sim(a, b):
     return jnp.sum(a * b, axis=-1) / (na * nb)
 
 
-def loss_s1(params, spec, points, gt_normals, gt_sdf, weights, alpha):
-    """Stage-1 DUDF loss. gt_sdf: (B, 1); returns dict of weighted scalars."""
+def loss_s1(params, spec, points, gt_normals, gt_sdf, weights, alpha,
+            deriv_dtype=None):
+    """Stage-1 DUDF loss. gt_sdf: (B, 1); returns dict of weighted scalars.
+
+    ``deriv_dtype=jnp.bfloat16`` halves the HBM traffic of the dominant
+    J/H carries (see autodiff/ops.py) — the training default.
+    """
     w0, w1, w2, w3 = (float(w) for w in weights)
     udf = gt_sdf[:, 0]
     on_surf = udf == 0
@@ -41,9 +46,9 @@ def loss_s1(params, spec, points, gt_normals, gt_sdf, weights, alpha):
     need_g = w3 != 0
 
     if need_h:
-        f, g, h6 = value_grad_hessian_packed(params, spec, points)
+        f, g, h6 = value_grad_hessian_packed(params, spec, points, deriv_dtype)
     elif need_g:
-        f, g = value_grad(params, spec, points)
+        f, g = value_grad(params, spec, points, deriv_dtype)
     else:
         f = value(params, spec, points)
 
@@ -88,13 +93,14 @@ def loss_s2(params, spec, points, gt_normals, gt_sdf, weights, alpha):
     }
 
 
-def loss_siren(params, spec, points, gt_normals, gt_sdf, weights, alpha=None):
+def loss_siren(params, spec, points, gt_normals, gt_sdf, weights, alpha=None,
+               deriv_dtype=None):
     """SIREN SDF baseline: on/off clamp + normal alignment + eikonal."""
     w0, w1, w2, w3 = (float(w) for w in weights)
     sdf = gt_sdf[:, 0]
     on_surf = sdf == 0
 
-    f, g = value_grad(params, spec, points)
+    f, g = value_grad(params, spec, points, deriv_dtype)
 
     off_constraint = jnp.where(~on_surf, jnp.exp(-1e2 * jnp.abs(f)), 0.0)
     normal_align = jnp.where(on_surf, 1.0 - _cosine_sim(g, gt_normals), 0.0)
