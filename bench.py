@@ -54,18 +54,22 @@ def main():
     trainer = Trainer(spec, sampler, cfg)
     state = trainer.init_state()
 
+    from diffudf_tpu.utils.timing import force_sync
+
     chunk = trainer.chunk_fn("s1")
     n_steps = 200
     # warmup with the SAME chunk length so the timed call reuses the
-    # compiled executable (scan length is a static shape)
+    # compiled executable (scan length is a static shape); force_sync
+    # (a device->host read) is the only reliable completion barrier on
+    # the axon platform — block_until_ready returns early there
     warm_idx = jnp.arange(0, n_steps, dtype=jnp.int32)
     state, _ = chunk(state, warm_idx)
-    jax.block_until_ready(state.params)
+    force_sync(state.params)
 
     idx = jnp.arange(n_steps, 2 * n_steps, dtype=jnp.int32)
     t0 = time.perf_counter()
     state, logs = chunk(state, idx)
-    jax.block_until_ready(state.params)
+    force_sync(state.params)
     dt = time.perf_counter() - t0
 
     steps_per_sec = n_steps / dt

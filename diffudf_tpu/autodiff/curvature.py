@@ -50,6 +50,46 @@ def principal_curvatures(grad, hess):
     return km - a, km + a
 
 
+def principal_directions(grad, hess):
+    """Principal curvature directions of the implicit surface, closed form.
+
+    Che, Paul & Zhang, "Lines of curvature and umbilical points for implicit
+    surfaces" (CAGD 2007) — the formula the reference carries in
+    ``src/diff_operators.py:55-94``.  Returns (T1 (..., 3), T2 (..., 3),
+    umbilical (...,) bool).  Directions are not normalised (callers
+    normalise); at umbilical points any tangent direction is valid.
+    """
+    g = grad
+    h = hess
+    gx, gy, gz = g[..., 0:1], g[..., 1:2], g[..., 2:3]
+
+    A = gy * h[..., 0, 2:3] - gz * h[..., 0, 1:2]
+    B = 0.5 * (gz * h[..., 0, 0:1] - gx * h[..., 0, 2:3]
+               + gy * h[..., 1, 2:3] - gz * h[..., 1, 1:2])
+    C = 0.5 * (gy * h[..., 2, 2:3] - gz * h[..., 1, 2:3]
+               + gx * h[..., 0, 1:2] - gy * h[..., 0, 0:1])
+    D = gz * h[..., 0, 1:2] - gx * h[..., 1, 2:3]
+    E = 0.5 * (gx * h[..., 1, 1:2] - gy * h[..., 0, 1:2]
+               + gz * h[..., 0, 2:3] - gx * h[..., 2, 2:3])
+    F = gx * h[..., 1, 2:3] - gy * h[..., 0, 2:3]
+
+    U = A * gz**2 - 2.0 * C * gx * gz + F * gx**2
+    V = 2.0 * (B * gz**2 - C * gy * gz - E * gx * gz + F * gx * gy)
+    W = D * gz**2 - 2.0 * E * gy * gz + F * gy**2
+
+    s = jnp.sign(gz)
+    disc = s * jnp.sqrt(jnp.abs(V**2 - 4.0 * U * W) + 1e-10)
+
+    t1 = jnp.concatenate(
+        [(-V + disc) * gz, 2.0 * U * gz, (V - disc) * gx - 2.0 * U * gy], axis=-1
+    )
+    t2 = jnp.concatenate(
+        [(-V - disc) * gz, 2.0 * U * gz, (V + disc) * gx - 2.0 * U * gy], axis=-1
+    )
+    umbilical = (jnp.abs(U) + jnp.abs(V) + jnp.abs(W))[..., 0] < 1e-6
+    return t1, t2, umbilical
+
+
 def shape_operator_curvatures(normals_jac, normals, mode: str):
     """Curvatures from the Jacobian of a unit-normal field (render path).
 

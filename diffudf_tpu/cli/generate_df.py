@@ -52,6 +52,9 @@ def generate_df(model_path, geometry_path, output_path, options):
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Generate distance-field slices")
     parser.add_argument("geometry_path", type=str)
     parser.add_argument("model_path", type=str)

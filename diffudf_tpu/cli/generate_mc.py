@@ -75,6 +75,9 @@ def run_mc(params, spec, gt_mode, N, output_path, alpha=None, algorithm="meshudf
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Generate mesh from trained model")
     parser.add_argument("config_path", type=str)
     args = parser.parse_args(argv)

@@ -39,6 +39,9 @@ def generate_pc(config: dict) -> PointCloudData:
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Generate dense point cloud")
     parser.add_argument("config_path", type=str)
     args = parser.parse_args(argv)

@@ -44,14 +44,17 @@ def create_projectional_image(
     gt_mode = network_config["gt_mode"]
     alpha = network_config.get("alpha", 1.0)
 
-    positions, hits, iters = trace_rays(
-        params, spec,
-        jnp.asarray(t0, jnp.float32), jnp.asarray(rays, jnp.float32),
-        jnp.asarray(mask),
+    from ..render.tracer import trace_rays_compacted
+
+    positions, hits, iters = trace_rays_compacted(
+        params, spec, np.asarray(t0, np.float32), np.asarray(rays, np.float32),
+        np.asarray(mask),
         gt_mode=gt_mode, alpha=alpha,
         surface_threshold=rendering_config["surface_threshold"],
         max_iterations=rendering_config.get("max_iterations", 100),
     )
+    positions = jnp.asarray(positions)
+    hits = jnp.asarray(hits)
     gd_steps = rendering_config.get("gd_steps", 0)
     if gd_steps:
         positions = gradient_descent_refine(
@@ -218,6 +221,9 @@ def generate_st(config: dict):
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Sphere-traced render")
     parser.add_argument("config_path", type=str)
     args = parser.parse_args(argv)

@@ -56,6 +56,9 @@ def evaluate_shape(cfg: TrainConfig, gt_pc_path: str):
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Quantitative batch evaluation")
     parser.add_argument("dataset", type=str)
     parser.add_argument("outfolder", type=str)

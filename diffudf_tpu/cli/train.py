@@ -91,7 +91,14 @@ def setup_train(cfg: TrainConfig, make_meshes: bool = True, verbose: bool = True
     models_dir = osp.join(full_path, "models")
     recon_dir = osp.join(full_path, "reconstructions")
 
+    from ..utils.metrics import ScalarLogger
+
+    logger = ScalarLogger(full_path)
+
     def on_chunk(epoch_end, st, logs):
+        start = epoch_end - len(logs["epoch_loss"])
+        for name, vals in logs.items():
+            logger.log_array(name, start, vals)
         ckpt.save_params(osp.join(models_dir, "model_current.npz"), st.params, spec)
         ckpt.save_params(osp.join(models_dir, "model_best.npz"), st.best_params, spec)
         ckpt.save_train_state(
@@ -111,12 +118,9 @@ def setup_train(cfg: TrainConfig, make_meshes: bool = True, verbose: bool = True
 
     state, losses, train_time = trainer.run(callback=on_chunk)
 
-    # losses.csv (reference ``train.py:394-395``; ';' separator)
-    import pandas as pd
-
-    pd.DataFrame.from_dict(
-        {k: v for k, v in losses.items() if k not in ("lr", "epoch_loss")}
-    ).to_csv(osp.join(full_path, "losses.csv"), sep=";", index=False)
+    # losses.csv (reference ``train.py:394-395``; ';' separator) + TensorBoard
+    logger.flush_csv("losses.csv", exclude=("lr", "epoch_loss"))
+    logger.close()
 
     ckpt.save_params(osp.join(models_dir, "model_final.npz"), state.params, spec)
 
@@ -136,6 +140,9 @@ def setup_train(cfg: TrainConfig, make_meshes: bool = True, verbose: bool = True
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(
         usage="python -m diffudf_tpu.cli.train path_to_experiment.json [device]"
     )

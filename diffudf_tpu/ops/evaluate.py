@@ -36,16 +36,16 @@ class FieldEval(NamedTuple):
     hess: jax.Array | None  # (Q, 3, 3)
 
 
-def _tile_map(params, spec, points, want_grad, want_hess, tile):
+def _tile_map(params, spec, points, want_grad, want_hess, tile, deriv_dtype=None):
     """Single-device tiled evaluation: (Q, 3) -> (f, g, h6) flat arrays."""
     q = points.shape[0]
     tiles = points.reshape(q // tile, tile, 3)
 
     def one(pts):
         if want_hess:
-            return value_grad_hessian_packed(params, spec, pts)
+            return value_grad_hessian_packed(params, spec, pts, deriv_dtype)
         if want_grad:
-            f, g = value_grad(params, spec, pts)
+            f, g = value_grad(params, spec, pts, deriv_dtype)
             return f, g, jnp.zeros((tile, 0), pts.dtype)
         f = value(params, spec, pts)
         return f, jnp.zeros((tile, 0), pts.dtype), jnp.zeros((tile, 0), pts.dtype)
@@ -54,23 +54,21 @@ def _tile_map(params, spec, points, want_grad, want_hess, tile):
     return f.reshape(q), g.reshape(q, -1), h6.reshape(q, -1)
 
 
-@partial(jax.jit, static_argnames=("spec", "want_grad", "want_hess", "tile"))
-def _eval_single(params, spec, points, want_grad, want_hess, tile):
-    return _tile_map(params, spec, points, want_grad, want_hess, tile)
+@partial(jax.jit, static_argnames=("spec", "want_grad", "want_hess", "tile", "deriv_dtype"))
+def _eval_single(params, spec, points, want_grad, want_hess, tile, deriv_dtype=None):
+    return _tile_map(params, spec, points, want_grad, want_hess, tile, deriv_dtype)
 
 
 @partial(
-    jax.jit, static_argnames=("spec", "want_grad", "want_hess", "tile", "mesh")
+    jax.jit, static_argnames=("spec", "want_grad", "want_hess", "tile", "mesh", "deriv_dtype")
 )
-def _eval_sharded(params, spec, points, want_grad, want_hess, tile, mesh):
+def _eval_sharded(params, spec, points, want_grad, want_hess, tile, mesh, deriv_dtype=None):
+    def local_eval(local_params, local_points):
+        return _tile_map(local_params, spec, local_points, want_grad, want_hess, tile,
+                         deriv_dtype)
+
     fn = jax.shard_map(
-        partial(
-            _tile_map,
-            spec=spec,
-            want_grad=want_grad,
-            want_hess=want_hess,
-            tile=tile,
-        ),
+        local_eval,
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS, None)),
         out_specs=(P(DATA_AXIS), P(DATA_AXIS, None), P(DATA_AXIS, None)),
@@ -87,6 +85,7 @@ def evaluate_field(
     want_hess: bool = False,
     tile: int = 8192,
     mesh=None,
+    deriv_dtype=None,
 ) -> FieldEval:
     """Evaluate f (+ ∇f, H) at (Q, 3) points, tiled and optionally sharded.
 
@@ -105,9 +104,11 @@ def evaluate_field(
         )
     if mesh is not None and mesh.size > 1:
         points = jax.device_put(points, NamedSharding(mesh, P(DATA_AXIS, None)))
-        f, g, h6 = _eval_sharded(params, spec, points, want_grad, want_hess, tile, mesh)
+        f, g, h6 = _eval_sharded(params, spec, points, want_grad, want_hess, tile,
+                                 mesh, deriv_dtype)
     else:
-        f, g, h6 = _eval_single(params, spec, points, want_grad, want_hess, tile)
+        f, g, h6 = _eval_single(params, spec, points, want_grad, want_hess, tile,
+                                deriv_dtype)
     return FieldEval(
         f=f[:q],
         grad=g[:q] if (want_grad or want_hess) else None,

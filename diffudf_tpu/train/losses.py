@@ -115,3 +115,50 @@ def loss_siren(params, spec, points, gt_normals, gt_sdf, weights, alpha=None,
 
 
 LOSS_FNS = {"s1": loss_s1, "s2": loss_s2, "siren": loss_siren}
+
+
+# --- auxiliary regularisers ---------------------------------------------------
+# Carried for reference-inventory parity (``loss_functions.py:56-80``); not
+# used by any shipping recipe, but available for experimentation.
+
+
+def total_variation(params, spec, points, gt_sdf, alpha, deriv_dtype=None):
+    """|∇‖∇f‖| vs the analytic tanh-field second-derivative magnitude,
+    off-surface (``loss_functions.py:56-65``).
+
+    Needs ∇‖∇f‖ = H·∇f/‖∇f‖ — available in closed form from the fused pass
+    (no extra autodiff like the reference's nested gradient call).
+    """
+    from ..autodiff.ops import hess_from_packed
+
+    udf = gt_sdf[:, 0]
+    f, g, h6 = value_grad_hessian_packed(params, spec, points, deriv_dtype)
+    h = hess_from_packed(h6)
+    gnorm = jnp.maximum(jnp.linalg.norm(g, axis=-1), 1e-12)
+    grad_of_gnorm = jnp.einsum("nij,nj->ni", h, g) / gnorm[:, None]
+    lhs = jnp.linalg.norm(grad_of_gnorm, axis=-1)
+    t = jnp.tanh(alpha * udf)
+    sech2 = 1.0 - t * t
+    rhs = 2.0 * alpha * jnp.abs(sech2 - udf * t * sech2)
+    return jnp.mean(jnp.where(udf != 0, jnp.abs(lhs - rhs), 0.0))
+
+
+def grad_consistency(params, spec, key, surf_points, gt_normals, alpha,
+                     stddev: float = 0.01, deriv_dtype=None):
+    """Consistency of the field at offsets along GT normals
+    (``loss_functions.py:67-80``): returns (direction, value, grad-norm)
+    residual means at x + n·ε, ε ~ N(0, σ)."""
+    import jax
+
+    eps = stddev * jax.random.normal(key, (surf_points.shape[0], 1))
+    samples = surf_points + gt_normals * eps
+    f, g = value_grad(params, spec, samples, deriv_dtype)
+    gn = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+    tan = jnp.tanh(alpha * jnp.abs(eps[:, 0]))
+    dir_res = 1.0 - _cosine_sim(gn, gt_normals * jnp.sign(eps))
+    val_res = jnp.abs(f - eps[:, 0] * tan)
+    norm_res = jnp.abs(
+        jnp.linalg.norm(g, axis=-1)
+        - jnp.abs(tan + jnp.abs(eps[:, 0]) * alpha * (1.0 - tan * tan))
+    )
+    return jnp.mean(dir_res), jnp.mean(val_res), jnp.mean(norm_res)

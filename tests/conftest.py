@@ -7,15 +7,15 @@ not by the unit suite.
 
 import os
 
+# Env vars alone are not enough: pytest plugins may import jax before this
+# conftest runs, after which JAX_PLATFORMS is already latched.  jax.config
+# updates work any time before backend initialisation.
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
 jax.config.update("jax_default_matmul_precision", "highest")
 
