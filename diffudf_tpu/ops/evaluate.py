@@ -36,9 +36,27 @@ class FieldEval(NamedTuple):
     hess: jax.Array | None  # (Q, 3, 3)
 
 
+def _uniform_width(spec) -> bool:
+    return len(set(spec.hidden)) == 1
+
+
+def _pallas_ok(spec, want_hess) -> bool:
+    """The fused Pallas kernel applies: TPU backend, Hessian requested,
+    uniform hidden width, sine activation (the flagship configuration)."""
+    import jax
+
+    return (
+        want_hess
+        and spec.activation == "sine"
+        and _uniform_width(spec)
+        and jax.default_backend() == "tpu"
+    )
+
+
 def _tile_map(params, spec, points, want_grad, want_hess, tile, deriv_dtype=None):
     """Single-device tiled evaluation: (Q, 3) -> (f, g, h6) flat arrays."""
     q = points.shape[0]
+
     tiles = points.reshape(q // tile, tile, 3)
 
     def one(pts):
@@ -96,6 +114,29 @@ def evaluate_field(
     points = jnp.asarray(points, jnp.float32)
     q = points.shape[0]
     n_dev = 1 if mesh is None else mesh.size
+
+    if (mesh is None or mesh.size == 1) and _pallas_ok(spec, want_hess):
+        # fused Pallas kernel, host-looped over fixed-size slabs (one
+        # compile; very large single grids overflow the TPU compiler)
+        from .pallas_vgh import vgh_pallas
+
+        slab = 524288
+        fs, gs, hs = [], [], []
+        for lo in range(0, q, slab):
+            chunk = points[lo : lo + slab]
+            if chunk.shape[0] < slab:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((slab - chunk.shape[0], 3), chunk.dtype)]
+                )
+            f, g, h6 = vgh_pallas(params, spec, chunk, tile=256)
+            fs.append(f)
+            gs.append(g)
+            hs.append(h6)
+        f = jnp.concatenate(fs)[:q]
+        g = jnp.concatenate(gs)[:q]
+        h6 = jnp.concatenate(hs)[:q]
+        return FieldEval(f=f, grad=g, hess=hess_from_packed(h6))
+
     step = tile * n_dev
     q_pad = ((q + step - 1) // step) * step
     if q_pad != q:
