@@ -98,7 +98,8 @@ class Trainer:
         dd = jnp.dtype(cfg.deriv_dtype) if cfg.deriv_dtype else None
         if stage == "s1":
             return loss_s1(params, self.spec, points, normals, sdf,
-                           cfg.loss_s1_weights, cfg.alpha, deriv_dtype=dd)
+                           cfg.loss_s1_weights, cfg.alpha, deriv_dtype=dd,
+                           n_surface=self.sampler.static.sizes.on_surface)
         if stage == "s2":
             return loss_s2(params, self.spec, points, normals, sdf,
                            cfg.loss_s2_weights, cfg.alpha)

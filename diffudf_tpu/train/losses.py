@@ -32,11 +32,18 @@ def _cosine_sim(a, b):
 
 
 def loss_s1(params, spec, points, gt_normals, gt_sdf, weights, alpha,
-            deriv_dtype=None):
+            deriv_dtype=None, n_surface=None):
     """Stage-1 DUDF loss. gt_sdf: (B, 1); returns dict of weighted scalars.
 
     ``deriv_dtype=jnp.bfloat16`` halves the HBM traffic of the dominant
     J/H carries (see autodiff/ops.py) — the training default.
+
+    ``n_surface``: static count of leading on-surface rows (the sampler's
+    batch layout).  When given, the Hessian — the most expensive part of
+    the fused forward AND its backward — is only computed for those rows;
+    the loss value is identical because ``hessian_constraint`` is masked
+    to the surface anyway (the reference wastefully derives Hessians for
+    the whole batch, ``loss_functions.py:141``).
     """
     w0, w1, w2, w3 = (float(w) for w in weights)
     udf = gt_sdf[:, 0]
@@ -45,8 +52,23 @@ def loss_s1(params, spec, points, gt_normals, gt_sdf, weights, alpha,
     need_h = w2 != 0
     need_g = w3 != 0
 
-    if need_h:
+    split = need_h and n_surface is not None and 0 < n_surface < points.shape[0]
+
+    h6 = None
+    if need_h and not split:
         f, g, h6 = value_grad_hessian_packed(params, spec, points, deriv_dtype)
+        h6_surf = h6
+        surf_normals = gt_normals
+        surf_mask = on_surf
+    elif split:
+        fs, gs, h6_surf = value_grad_hessian_packed(
+            params, spec, points[:n_surface], deriv_dtype
+        )
+        fo, go = value_grad(params, spec, points[n_surface:], deriv_dtype)
+        f = jnp.concatenate([fs, fo])
+        g = jnp.concatenate([gs, go])
+        surf_normals = gt_normals[:n_surface]
+        surf_mask = on_surf[:n_surface]
     elif need_g:
         f, g = value_grad(params, spec, points, deriv_dtype)
     else:
@@ -60,9 +82,12 @@ def loss_s1(params, spec, points, gt_normals, gt_sdf, weights, alpha,
     terms["sdf_off_surf"] = jnp.mean(jnp.where(~on_surf, jnp.abs(tdf - f), 0.0)) * w1
 
     if need_h:
-        pred_normals = top_eigenvector_packed(h6)
-        align = 1.0 - jnp.abs(_cosine_sim(gt_normals, pred_normals))
-        terms["hessian_constraint"] = jnp.mean(jnp.where(on_surf, align, 0.0)) * w2
+        pred_normals = top_eigenvector_packed(h6_surf)
+        align = 1.0 - jnp.abs(_cosine_sim(surf_normals, pred_normals))
+        # masked mean over the FULL batch size (reference semantics: zeros
+        # for off-surface rows still count in the denominator)
+        total = jnp.sum(jnp.where(surf_mask, align, 0.0)) / points.shape[0]
+        terms["hessian_constraint"] = total * w2
     else:
         terms["hessian_constraint"] = jnp.zeros(())
 
