@@ -22,6 +22,29 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def divergence(hess):
+    """∇·(∇f) = tr H — the divergence of the gradient field, from the fused
+    Hessian (reference ``src/diff_operators.py:201-205`` re-enters autograd
+    per component; here it's a trace)."""
+    return jnp.trace(hess, axis1=-2, axis2=-1)
+
+
+def laplacian(hess):
+    """Δf = tr H (alias, reference ``diff_operators.py:196-198``)."""
+    return divergence(hess)
+
+
+def vector_field_jacobian(field_fn, x):
+    """Jacobian of an R³→R³ field at points x: (N, 3) -> (N, 3, 3).
+
+    Forward-mode per point (``diff_operators.py:214-227`` analogue); used
+    for shape operators of normal fields.
+    """
+    import jax
+
+    return jax.vmap(jax.jacfwd(lambda p: field_fn(p[None, :])[0]))(x)
+
+
 def mean_curvature(grad, hess):
     """(..., 3), (..., 3, 3) -> (...,). ½ ∇·(∇f/|∇f|) in closed form."""
     gnorm = jnp.linalg.norm(grad, axis=-1)

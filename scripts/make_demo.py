@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Generate demo geometry (the repo's analogue of the reference's beetle).
+
+Writes procedural meshes into data/demo/:
+  * torus.obj       — a (0.6, 0.25) torus, the verify-skill workhorse
+  * trefoil.obj     — a trefoil-knot tube, a harder genus-1 shape
+
+Usage: python scripts/make_demo.py [out_dir]
+Then:  python -m diffudf_tpu.cli.preprocess data/demo/torus.obj data/demo/
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from diffudf_tpu.data.mesh_io import Mesh, save_mesh  # noqa: E402
+
+
+def grid_surface(fn, nu, nv, closed_u=True, closed_v=True):
+    u = np.linspace(0, 2 * np.pi, nu, endpoint=not closed_u)
+    v = np.linspace(0, 2 * np.pi, nv, endpoint=not closed_v)
+    uu, vv = np.meshgrid(u, v, indexing="ij")
+    verts = fn(uu, vv).reshape(-1, 3)
+    faces = []
+    for i in range(nu if closed_u else nu - 1):
+        for j in range(nv if closed_v else nv - 1):
+            a = i * nv + j
+            b = ((i + 1) % nu) * nv + j
+            c = ((i + 1) % nu) * nv + (j + 1) % nv
+            d = i * nv + (j + 1) % nv
+            faces += [[a, b, c], [a, c, d]]
+    return Mesh(verts, np.asarray(faces, np.int64))
+
+
+def torus(R=0.6, r=0.25, nu=128, nv=64):
+    def fn(u, v):
+        x = (R + r * np.cos(v)) * np.cos(u)
+        y = (R + r * np.cos(v)) * np.sin(u)
+        z = r * np.sin(v)
+        return np.stack([x, y, z], -1)
+
+    return grid_surface(fn, nu, nv)
+
+
+def trefoil(tube=0.18, nu=256, nv=48):
+    def center(t):
+        return np.stack(
+            [
+                np.sin(t) + 2 * np.sin(2 * t),
+                np.cos(t) - 2 * np.cos(2 * t),
+                -np.sin(3 * t),
+            ],
+            -1,
+        ) / 3.5
+
+    def fn(u, v):
+        c = center(u)
+        # frame via finite differences
+        eps = 1e-4
+        t_vec = (center(u + eps) - center(u - eps))
+        t_vec /= np.linalg.norm(t_vec, axis=-1, keepdims=True)
+        ref = np.broadcast_to(np.array([0.0, 0.0, 1.0]), t_vec.shape)
+        n_vec = np.cross(t_vec, ref)
+        # avoid degenerate frames where tangent ~ ref
+        small = np.linalg.norm(n_vec, axis=-1, keepdims=True) < 1e-6
+        alt = np.cross(t_vec, np.broadcast_to(np.array([0.0, 1.0, 0.0]), t_vec.shape))
+        n_vec = np.where(small, alt, n_vec)
+        n_vec /= np.linalg.norm(n_vec, axis=-1, keepdims=True)
+        b_vec = np.cross(t_vec, n_vec)
+        return c + tube * (np.cos(v)[..., None] * n_vec + np.sin(v)[..., None] * b_vec)
+
+    return grid_surface(fn, nu, nv)
+
+
+def main():
+    out = sys.argv[1] if len(sys.argv) > 1 else "data/demo"
+    os.makedirs(out, exist_ok=True)
+    save_mesh(os.path.join(out, "torus.obj"), torus())
+    save_mesh(os.path.join(out, "trefoil.obj"), trefoil())
+    print(f"wrote {out}/torus.obj and {out}/trefoil.obj")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+"""CLI integration smoke tests (CPU, tiny configs): the full user journey."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from diffudf_tpu.config import TrainConfig
+
+
+@pytest.fixture(scope="module")
+def demo_dir(tmp_path_factory):
+    """Preprocessed mini torus dataset."""
+    import subprocess
+    import sys
+
+    d = tmp_path_factory.mktemp("demo")
+    # small torus mesh
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.make_demo import torus
+    from diffudf_tpu.data.mesh_io import save_mesh
+
+    save_mesh(str(d / "torus.obj"), torus(nu=48, nv=24))
+    from diffudf_tpu.cli.preprocess import preprocess_mesh
+
+    preprocess_mesh(str(d), str(d / "torus.obj"), surface_points=3000)
+    return d
+
+
+@pytest.fixture(scope="module")
+def trained_dir(demo_dir):
+    """A (very) short CLI training run, CPU."""
+    from diffudf_tpu.cli.train import setup_train
+
+    cfg = TrainConfig.from_dict({
+        "num_epochs": 60, "s1_epochs": 50, "warmup_epochs": 10,
+        "dataset": str(demo_dir / "torus"), "batch_size": 512,
+        "sampling_percentiles": [0.333, 0.666], "batches_per_epoch": 1,
+        "checkpoint_path": str(demo_dir / "results"), "experiment_name": "exp",
+        "epochs_to_checkpoint": 0, "gt_mode": "tanh",
+        "loss_s1_weights": [1e4, 1e4, 1e4, 1e3], "loss_s2_weights": [1e5, 1e5],
+        "alpha": 10,
+        "optimizer": {"type": "adam", "lr_s1": 1e-4, "lr_s2": 1e-6},
+        "network": {"hidden_layer_nodes": [32, 32], "w0": 30, "pretrained_dict": "None"},
+        "resolution": 24,
+    })
+    t, meshes, state = setup_train(cfg, verbose=False)
+    return demo_dir / "results" / "exp", meshes, state
+
+
+class TestTrainCLI:
+    def test_artifacts(self, trained_dir):
+        out, meshes, state = trained_dir
+        assert (out / "params.json").exists()
+        assert (out / "losses.csv").exists()
+        assert (out / "models" / "model_best.npz").exists()
+        assert (out / "models" / "model_final.npz").exists()
+        assert (out / "models" / "train_state.npz").exists()
+        assert (out / "reconstructions" / "distance_fields.png").exists()
+        assert (out / "reconstructions" / "pred_grad.png").exists()
+        assert (out / "reconstructions" / "mc_mesh_best_MU.obj").exists()
+        assert (out / "reconstructions" / "mc_mesh_best_CAP.obj").exists()
+
+    def test_losses_csv_columns(self, trained_dir):
+        out, _, _ = trained_dir
+        header = open(out / "losses.csv").readline().strip().split(";")
+        assert "hessian_constraint" in header
+        assert "std_on_surf" in header  # s2 terms present
+
+    def test_params_json_reference_schema(self, trained_dir):
+        out, _, _ = trained_dir
+        d = json.load(open(out / "params.json"))
+        assert d["gt_mode"] == "tanh"
+        assert d["optimizer"]["lr_s1"] == 1e-4
+        assert d["network"]["hidden_layer_nodes"] == [32, 32]
+
+    def test_meshes_nonempty(self, trained_dir):
+        _, meshes, _ = trained_dir
+        mesh_mu, mesh_cap = meshes
+        assert len(mesh_cap.faces) > 0
+        assert len(mesh_mu.faces) > 0
+
+
+class TestRenderCLI:
+    def test_generate_st_smoke(self, trained_dir, demo_dir):
+        from diffudf_tpu.cli.generate_st import generate_st
+
+        out, _, _ = trained_dir
+        cfg = {
+            "network_config": {
+                "alpha": 10, "gt_mode": "tanh",
+                "hidden_layer_nodes": [32, 32], "w0": 30,
+                "model_path": str(out / "models" / "model_best.npz"),
+            },
+            "rendering_config": {
+                "width": 32, "height": 32, "surface_threshold": 0.05,
+                "fov": 60, "camera_position": [0.0, 0.0, 2.5],
+                "light_position": [1, 2.4, 10], "plot_curvatures": "none",
+                "max_iterations": 40, "reflection_method": "blinn-phong",
+                "shininess": 40, "sample_rate": 1, "gd_steps": 1,
+                "rotation": 0,
+            },
+        }
+        im = generate_st(cfg)
+        arr = np.asarray(im)
+        assert arr.shape == (32, 32, 3)
+        # some pixels shaded (non-white)
+        assert (arr < 250).any()
+
+    def test_generate_st_gt_mode(self, demo_dir):
+        from diffudf_tpu.cli.generate_st import generate_st
+
+        cfg = {
+            "network_config": {"gt_mode": "gt"},
+            "mesh_path": str(demo_dir / "torus_t.obj"),
+            "light_pos": [1, 2.4, 10],
+            "max_iter": 30,
+            "surface_eps": 0.01,
+            "rendering_config": {
+                "width": 24, "height": 24, "fov": 60,
+                "camera_position": [0.0, 0.0, 2.5], "sample_rate": 1,
+                "surface_threshold": 0.01,
+            },
+        }
+        im = generate_st(cfg)
+        assert np.asarray(im).shape == (24, 24, 3)
+
+
+class TestQuantitative:
+    def test_mesh_metrics(self, trained_dir, demo_dir):
+        from diffudf_tpu.cli.quantitative import mesh_metrics
+        from diffudf_tpu.data.mesh_io import load_point_cloud
+
+        _, meshes, _ = trained_dir
+        _, mesh_cap = meshes
+        gt = load_point_cloud(str(demo_dir / "torus_pc.ply"))
+        l1, l2, nc = mesh_metrics(mesh_cap, gt.points, gt.normals)
+        # plumbing smoke test: a 60-epoch 32x32 model is deliberately bad;
+        # just require finite, sane-order metrics
+        assert 0 < l1 < 5.0
+        assert 0 < l2 < 5.0
+        assert 0 <= nc <= 2.0
+
+
+class TestGenerateDF:
+    def test_slice_figure_files(self, trained_dir, demo_dir, tmp_path):
+        from diffudf_tpu.cli.generate_df import generate_df
+
+        out, _, _ = trained_dir
+        opts = {
+            "hidden_layer_nodes": [32, 32], "weight0": 30, "width": 64,
+            "gt_mode": "tanh", "alpha": 10, "surf_thresh": 1e-3,
+        }
+        outdir = str(tmp_path) + "/"
+        generate_df(str(out / "models" / "model_best.npz"),
+                    str(demo_dir / "torus_t.obj"), outdir, opts)
+        assert os.path.exists(outdir + "distance_fields.png")
+        assert os.path.exists(outdir + "pred_grad.png")
