@@ -65,6 +65,10 @@ class TrainConfig:
     # 'bfloat16' (default, ~1.8x faster on the bandwidth-bound TPU step,
     # ≲0.4% relative derivative noise) or 'float32' (exact reference parity)
     deriv_dtype: str = "bfloat16"
+    # fused Pallas custom-VJP kernel for the stage-1 Hessian block
+    # (TPU, uniform-width sine nets; f32 math — MORE precise than the
+    # bf16 XLA path and ~10x faster)
+    use_pallas: bool = True
 
     @classmethod
     def from_dict(cls, d: dict) -> "TrainConfig":

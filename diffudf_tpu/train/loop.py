@@ -73,6 +73,17 @@ class Trainer:
         self.mesh = mesh if mesh is not None else data_mesh()
         self.optim = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
         self._chunk_fns = {}
+        self._vgh_op = None
+        if (
+            cfg.use_pallas
+            and jax.default_backend() == "tpu"
+            and self.mesh.size == 1
+            and spec.activation == "sine"
+            and len(set(spec.hidden)) == 1
+        ):
+            from ..ops.pallas_vgh_vjp import make_vgh_op
+
+            self._vgh_op = make_vgh_op(spec)
 
     # --- state ---------------------------------------------------------------
 
@@ -99,7 +110,8 @@ class Trainer:
         if stage == "s1":
             return loss_s1(params, self.spec, points, normals, sdf,
                            cfg.loss_s1_weights, cfg.alpha, deriv_dtype=dd,
-                           n_surface=self.sampler.static.sizes.on_surface)
+                           n_surface=self.sampler.static.sizes.on_surface,
+                           vgh_fn=self._vgh_op)
         if stage == "s2":
             return loss_s2(params, self.spec, points, normals, sdf,
                            cfg.loss_s2_weights, cfg.alpha)

@@ -32,7 +32,7 @@ def _cosine_sim(a, b):
 
 
 def loss_s1(params, spec, points, gt_normals, gt_sdf, weights, alpha,
-            deriv_dtype=None, n_surface=None):
+            deriv_dtype=None, n_surface=None, vgh_fn=None):
     """Stage-1 DUDF loss. gt_sdf: (B, 1); returns dict of weighted scalars.
 
     ``deriv_dtype=jnp.bfloat16`` halves the HBM traffic of the dominant
@@ -61,9 +61,22 @@ def loss_s1(params, spec, points, gt_normals, gt_sdf, weights, alpha,
         surf_normals = gt_normals
         surf_mask = on_surf
     elif split:
-        fs, gs, h6_surf = value_grad_hessian_packed(
-            params, spec, points[:n_surface], deriv_dtype
-        )
+        if vgh_fn is not None:
+            # custom (Pallas) fused op; pad the surface block to its tile
+            # multiple — cotangents of sliced-off rows are zero, so padding
+            # is gradient-transparent
+            pts_s = points[:n_surface]
+            pad = (-n_surface) % 256
+            if pad:
+                pts_s = jnp.concatenate(
+                    [pts_s, jnp.broadcast_to(pts_s[:1], (pad, 3))], axis=0
+                )
+            fs, gs, h6_surf = vgh_fn(params, pts_s)
+            fs, gs, h6_surf = fs[:n_surface], gs[:n_surface], h6_surf[:n_surface]
+        else:
+            fs, gs, h6_surf = value_grad_hessian_packed(
+                params, spec, points[:n_surface], deriv_dtype
+            )
         fo, go = value_grad(params, spec, points[n_surface:], deriv_dtype)
         f = jnp.concatenate([fs, fo])
         g = jnp.concatenate([gs, go])
