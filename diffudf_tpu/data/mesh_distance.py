@@ -42,6 +42,12 @@ def point_cloud_distance(queries: jax.Array, cloud: jax.Array, tile: int = 2048)
 
     queries: (Q, 3), cloud: (N, 3) -> (Q,).  Q must be a multiple of `tile`
     or smaller than it; use :func:`pad_to` upstream if needed.
+
+    A fused Pallas variant exists as
+    :func:`diffudf_tpu.ops.pallas_distance.min_distance_pallas` for
+    host-level callers; it is NOT auto-dispatched here because this
+    function also runs inside the compiled training scan, where nesting a
+    pallas_call makes the remote TPU compiler pathologically slow.
     """
     q = queries.shape[0]
     if q <= tile:

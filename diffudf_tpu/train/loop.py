@@ -74,6 +74,7 @@ class Trainer:
         self.optim = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
         self._chunk_fns = {}
         self._vgh_op = None
+        self._vg_op = None
         if (
             cfg.use_pallas
             and jax.default_backend() == "tpu"
@@ -81,9 +82,11 @@ class Trainer:
             and spec.activation == "sine"
             and len(set(spec.hidden)) == 1
         ):
+            from ..ops.pallas_vg import make_vg_op
             from ..ops.pallas_vgh_vjp import make_vgh_op
 
             self._vgh_op = make_vgh_op(spec)
+            self._vg_op = make_vg_op(spec)
 
     # --- state ---------------------------------------------------------------
 
@@ -111,7 +114,7 @@ class Trainer:
             return loss_s1(params, self.spec, points, normals, sdf,
                            cfg.loss_s1_weights, cfg.alpha, deriv_dtype=dd,
                            n_surface=self.sampler.static.sizes.on_surface,
-                           vgh_fn=self._vgh_op)
+                           vgh_fn=self._vgh_op, vg_fn=self._vg_op)
         if stage == "s2":
             return loss_s2(params, self.spec, points, normals, sdf,
                            cfg.loss_s2_weights, cfg.alpha)

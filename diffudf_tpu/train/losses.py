@@ -31,8 +31,17 @@ def _cosine_sim(a, b):
     return jnp.sum(a * b, axis=-1) / (na * nb)
 
 
+def _padded_call(fn, params, pts, n_real, tile=256):
+    """Call a tile-constrained fused op on an arbitrary-length block."""
+    pad = (-n_real) % tile
+    if pad:
+        pts = jnp.concatenate([pts, jnp.broadcast_to(pts[:1], (pad, 3))], axis=0)
+    outs = fn(params, pts)
+    return tuple(o[:n_real] for o in outs)
+
+
 def loss_s1(params, spec, points, gt_normals, gt_sdf, weights, alpha,
-            deriv_dtype=None, n_surface=None, vgh_fn=None):
+            deriv_dtype=None, n_surface=None, vgh_fn=None, vg_fn=None):
     """Stage-1 DUDF loss. gt_sdf: (B, 1); returns dict of weighted scalars.
 
     ``deriv_dtype=jnp.bfloat16`` halves the HBM traffic of the dominant
@@ -62,22 +71,20 @@ def loss_s1(params, spec, points, gt_normals, gt_sdf, weights, alpha,
         surf_mask = on_surf
     elif split:
         if vgh_fn is not None:
-            # custom (Pallas) fused op; pad the surface block to its tile
-            # multiple — cotangents of sliced-off rows are zero, so padding
-            # is gradient-transparent
-            pts_s = points[:n_surface]
-            pad = (-n_surface) % 256
-            if pad:
-                pts_s = jnp.concatenate(
-                    [pts_s, jnp.broadcast_to(pts_s[:1], (pad, 3))], axis=0
-                )
-            fs, gs, h6_surf = vgh_fn(params, pts_s)
-            fs, gs, h6_surf = fs[:n_surface], gs[:n_surface], h6_surf[:n_surface]
+            # custom (Pallas) fused op; blocks padded to the tile multiple —
+            # cotangents of sliced-off rows are zero, so padding is
+            # gradient-transparent
+            fs, gs, h6_surf = _padded_call(vgh_fn, params, points[:n_surface],
+                                           n_surface)
         else:
             fs, gs, h6_surf = value_grad_hessian_packed(
                 params, spec, points[:n_surface], deriv_dtype
             )
-        fo, go = value_grad(params, spec, points[n_surface:], deriv_dtype)
+        n_off = points.shape[0] - n_surface
+        if vg_fn is not None:
+            fo, go = _padded_call(vg_fn, params, points[n_surface:], n_off)
+        else:
+            fo, go = value_grad(params, spec, points[n_surface:], deriv_dtype)
         f = jnp.concatenate([fs, fo])
         g = jnp.concatenate([gs, go])
         surf_normals = gt_normals[:n_surface]

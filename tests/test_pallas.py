@@ -58,3 +58,76 @@ class TestPallasVGH:
         params = init_siren(jax.random.PRNGKey(5), spec)
         with pytest.raises(ValueError):
             pv.vgh_pallas(params, spec, jnp.zeros((100, 3)), tile=256)
+
+
+class TestPallasVG:
+    def test_vg_matches_reference(self, interp):
+        import diffudf_tpu.ops.pallas_vg as pg
+
+        pg.pl.pallas_call = pv.pl.pallas_call  # interp-patched
+        from diffudf_tpu.autodiff.ops import value_grad
+
+        spec = SirenSpec(hidden=(64,) * 4)
+        params = init_siren(jax.random.PRNGKey(0), spec)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (128, 3), minval=-1, maxval=1)
+        op = pg.make_vg_op(spec, fwd_tile=64, bwd_tile=64)
+        f1, g1 = op(params, x)
+        f0, g0 = value_grad(params, spec, x)
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-4)
+
+        def L_ref(p):
+            f, g = value_grad(p, spec, x)
+            return jnp.sum(jnp.sin(f)) + jnp.sum(g * g)
+
+        def L_op(p):
+            f, g = op(p, x)
+            return jnp.sum(jnp.sin(f)) + jnp.sum(g * g)
+
+        ga = jax.grad(L_ref)(params)
+        gb = jax.grad(L_op)(params)
+        for a, b in zip(ga, gb):
+            scale = max(float(jnp.abs(a["w"]).max()), 1.0)
+            assert float(jnp.abs(a["w"] - b["w"]).max()) < 1e-5 * scale
+
+
+class TestPallasVGHGrad:
+    def test_vgh_custom_vjp_gradcheck(self, interp):
+        import diffudf_tpu.ops.pallas_vgh_vjp as pvj
+
+        pvj.pl.pallas_call = pv.pl.pallas_call
+        from diffudf_tpu.autodiff.ops import value_grad_hessian_packed
+
+        spec = SirenSpec(hidden=(64,) * 3)
+        params = init_siren(jax.random.PRNGKey(2), spec)
+        x = jax.random.uniform(jax.random.PRNGKey(3), (64, 3), minval=-1, maxval=1)
+        op = pvj.make_vgh_op(spec, fwd_tile=64, bwd_tile=64)
+
+        def L_ref(p):
+            f, g, h6 = value_grad_hessian_packed(p, spec, x)
+            return jnp.sum(jnp.sin(f)) + jnp.sum(g * g) + jnp.sum(jnp.cos(h6))
+
+        def L_op(p):
+            f, g, h6 = op(p, x)
+            return jnp.sum(jnp.sin(f)) + jnp.sum(g * g) + jnp.sum(jnp.cos(h6))
+
+        ga = jax.grad(L_ref)(params)
+        gb = jax.grad(L_op)(params)
+        for a, b in zip(ga, gb):
+            scale = max(float(jnp.abs(a["w"]).max()), 1.0)
+            assert float(jnp.abs(a["w"] - b["w"]).max()) < 2e-5 * scale
+            bscale = max(float(jnp.abs(a["b"]).max()), 1.0)
+            assert float(jnp.abs(a["b"] - b["b"]).max()) < 2e-5 * bscale
+
+
+class TestPallasDistance:
+    def test_matches_bruteforce(self, interp):
+        import diffudf_tpu.ops.pallas_distance as pdist
+
+        pdist.pl.pallas_call = pv.pl.pallas_call
+        rng = np.random.default_rng(0)
+        cloud = rng.normal(size=(3000, 3)).astype(np.float32)
+        q = rng.normal(size=(300, 3)).astype(np.float32)
+        got = np.asarray(pdist.min_distance_pallas(q, cloud))
+        want = np.sqrt(((q[:, None] - cloud[None]) ** 2).sum(-1)).min(1)
+        np.testing.assert_allclose(got, want, atol=1e-4)
