@@ -234,6 +234,20 @@ def hit_attributes(
     (``render_st.py:42-55``).
     """
     n = positions.shape[0]
+
+    if curvature_mode == "none":
+        # fast path: fused (pallas-backed on TPU) Hessian eval + eigh
+        from ..ops.evaluate import evaluate_field
+
+        ev = evaluate_field(params, spec, positions, want_hess=True, tile=tile)
+        _, vecs = eigh3x3(ev.hess)
+        return {
+            "normals": vecs[..., 2],
+            "pc1": vecs[..., 0],
+            "pc2": vecs[..., 1],
+            "curvature": jnp.zeros(n),
+        }
+
     tiles = positions.reshape(n // tile, tile, 3)
 
     def one(pts):
@@ -241,9 +255,6 @@ def hit_attributes(
         _, vecs = eigh3x3(h)
         normals = vecs[..., 2]
         out = {"normals": normals, "pc1": vecs[..., 0], "pc2": vecs[..., 1]}
-        if curvature_mode == "none":
-            out["curvature"] = jnp.zeros(pts.shape[0])
-            return out
 
         def nf(p):
             return _normal_field(params, spec, p[None, :])[0]
