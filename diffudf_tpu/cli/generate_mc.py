@@ -50,7 +50,7 @@ def run_mc(params, spec, gt_mode, N, output_path, alpha=None, algorithm="meshudf
     dirs = np.asarray(dirs)
 
     if algorithm == "cap":
-        verts, faces = extract_mesh_cap(udf, dirs, N)
+        verts, faces = _cap_postprocessed(udf, dirs, N)
         m = Mesh(verts, faces)
         save_mesh(output_path, m)
         print(f"Saved to {output_path}")
@@ -66,12 +66,33 @@ def run_mc(params, spec, gt_mode, N, output_path, alpha=None, algorithm="meshudf
         verts, faces = extract_mesh_meshudf(udf, dirs)
         mesh_mu = Mesh(verts, faces)
         save_mesh(stem + "_MU" + ext, mesh_mu)
-        verts, faces = extract_mesh_cap(udf, dirs, N)
+        verts, faces = _cap_postprocessed(udf, dirs, N)
         mesh_cap = Mesh(verts, faces)
         save_mesh(stem + "_CAP" + ext, mesh_cap)
         print(f"Saved to {stem + '_MU' + ext}, {stem + '_CAP' + ext}")
         return mesh_mu, mesh_cap
     raise ValueError(f"Invalid algorithm {algorithm!r}")
+
+
+def _cap_postprocessed(udf, dirs, N):
+    """CAP extraction + light cleanup for the CLI artifact.
+
+    The reference exports the raw CAP triangle soup (``render_mc.py:254``,
+    ``process=False``); we additionally merge duplicates, drop specks and
+    make the winding consistent — same geometry, far better vertex normals
+    (the raw soup remains available via ``extract.extract_mesh_cap``).
+    """
+    from ..extract.postprocess import (
+        clean_mesh,
+        orient_faces_consistently,
+        remove_small_components,
+    )
+
+    verts, faces = extract_mesh_cap(udf, dirs, N)
+    verts, faces = clean_mesh(verts, faces, fill_holes=False)
+    verts, faces = remove_small_components(verts, faces)
+    faces = orient_faces_consistently(faces)
+    return verts, faces
 
 
 def main(argv=None):

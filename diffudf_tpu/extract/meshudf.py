@@ -36,12 +36,24 @@ AVG_THRESH = 1.05
 MAX_THRESH = 1.75
 
 
-def edge_relations(udf: np.ndarray, dirs: np.ndarray, participate: np.ndarray):
+def edge_relations(udf: np.ndarray, dirs: np.ndarray, participate: np.ndarray,
+                   voxel: float):
     """Relations for the 3 positive-axis edge families.
 
     Returns list of (mask, rel_sign (+1/-1), confidence) arrays, each shaped
     like the edge slab for that axis; mask marks edges whose both endpoints
     participate.
+
+    Robustness (learned direction fields are noisy near the surface, where
+    the Hessian-eigenvector fallback has an ill-determined sign): the
+    relation combines two evidence sources —
+
+      * triangle inequality on the UDF *values*: if min(u_a, u_b) exceeds
+        the edge length the surface cannot pass between the endpoints
+        (crossing impossible, dirs overruled); if u_a + u_b ≈ edge length
+        a crossing is likely regardless of dirs;
+      * the direction test: a crossing flips the projections along the
+        edge (dir_a·û > 0 > dir_b·û — dirs point toward the surface).
     """
     out = []
     for axis in range(3):
@@ -52,18 +64,76 @@ def edge_relations(udf: np.ndarray, dirs: np.ndarray, participate: np.ndarray):
         sl_a, sl_b = tuple(sl_a), tuple(sl_b)
         pa = dirs[sl_a][..., axis]
         pb = dirs[sl_b][..., axis]
-        # dirs point TOWARD the surface (−∇udf); a crossing between a and b
-        # means dir_a points along +axis and dir_b along −axis: pa > 0 > pb.
-        crossing = (pa > 0) & (pb < 0)
-        # medial-axis case (pa < 0 < pb): distance locally maximal — same side
-        rel = np.where(crossing, -1.0, 1.0).astype(np.float32)
-        conf = np.abs(pa * pb).astype(np.float32)
+        ua = udf[sl_a]
+        ub = udf[sl_b]
+        mn = np.minimum(ua, ub)
+        ssum = ua + ub
+        diff = np.abs(ua - ub)
+
+        crossing_dir = (pa > 0) & (pb < 0)
+        # the value bonus only AMPLIFIES direction-detected crossings: a
+        # tangential near-surface edge also has small u_a + u_b but must
+        # NOT be flagged (its projections are ~0 on both ends)
+        cross_score = np.where(
+            crossing_dir,
+            np.abs(pa * pb) + np.maximum(0.0, 1.0 - ssum / voxel),
+            0.0,
+        )
+        same_score = np.where(~crossing_dir, np.abs(pa * pb), 0.0)
+        # |u_a − u_b| ≈ edge length ⇒ walking straight away from the same
+        # nearest surface region ⇒ same side
+        same_score = same_score + 3.0 * np.maximum(0.0, diff / voxel - 0.7)
+        # geometric impossibility: surface cannot sit between the endpoints
+        impossible = mn > 1.2 * voxel
+        same_score = np.where(impossible, 10.0 + mn / voxel, same_score)
+        cross_score = np.where(impossible, 0.0, cross_score)
+
+        rel = np.where(cross_score > same_score, -1.0, 1.0).astype(np.float32)
+        conf = np.abs(cross_score - same_score).astype(np.float32)
         mask = participate[sl_a] & participate[sl_b]
         out.append((mask, rel, conf))
     return out
 
 
-def _signs_scipy(udf, dirs, participate):
+def majority_relaxation(signs: np.ndarray, udf: np.ndarray, dirs: np.ndarray,
+                        participate: np.ndarray, voxel: float,
+                        iters: int = 30) -> np.ndarray:
+    """Iteratively re-vote each vertex's sign from its 6 neighbours.
+
+    A spanning tree propagates one wrong relation into a whole wrong
+    subtree; confidence-weighted neighbourhood majority voting erodes such
+    regions (the array analogue of the reference's accumulate-votes +
+    revisit-unsure BFS, ``_marching_cubes_lewiner_cy.pyx:1243-1375``).
+    Fully vectorised: each iteration is six shifted multiply-adds.
+    """
+    rels = edge_relations(udf, dirs, participate, voxel)
+    weights = []
+    for axis, (mask, rel, conf) in enumerate(rels):
+        weights.append((conf * rel * mask).astype(np.float32))
+    s = signs.astype(np.float32) * participate
+    n_part = max(int(participate.sum()), 1)
+    for _ in range(iters):
+        acc = np.zeros_like(s)
+        for axis, w in enumerate(weights):
+            sl_a = [slice(None)] * 3
+            sl_b = [slice(None)] * 3
+            sl_a[axis] = slice(0, -1)
+            sl_b[axis] = slice(1, None)
+            sl_a, sl_b = tuple(sl_a), tuple(sl_b)
+            acc[sl_a] += w * s[sl_b]
+            acc[sl_b] += w * s[sl_a]
+        new = np.where(acc != 0, np.sign(acc), s)
+        flips = int((new != s).sum())
+        s = new
+        if flips <= n_part // 10000:
+            break
+    out = signs.copy()
+    nz = (s != 0) & participate
+    out[nz] = s[nz].astype(np.int8)
+    return out
+
+
+def _signs_scipy(udf, dirs, participate, voxel):
     """Max-confidence spanning-tree sign propagation via scipy csgraph."""
     from scipy.sparse import coo_matrix
     from scipy.sparse.csgraph import breadth_first_order, minimum_spanning_tree
@@ -73,7 +143,9 @@ def _signs_scipy(udf, dirs, participate):
     lin = np.arange(n).reshape(shape)
 
     rows, cols, ws, rels = [], [], [], []
-    for axis, (mask, rel, conf) in enumerate(edge_relations(udf, dirs, participate)):
+    for axis, (mask, rel, conf) in enumerate(
+        edge_relations(udf, dirs, participate, voxel)
+    ):
         sl_a = [slice(None)] * 3
         sl_b = [slice(None)] * 3
         sl_a[axis] = slice(0, -1)
@@ -129,18 +201,45 @@ def _signs_scipy(udf, dirs, participate):
 
 
 def compute_signs(udf: np.ndarray, dirs: np.ndarray, voxel_size: float,
-                  max_dist_voxels: float = 2.0 * MAX_THRESH):
-    """Pseudo-sign (+1/−1) per grid vertex. Native C++ when built, scipy
-    fallback otherwise (identical algorithm)."""
+                  max_dist_voxels: float = 2.0,
+                  relax_iters: int = 30):
+    """Pseudo-sign (+1/−1) per grid vertex.
+
+    Maximum-confidence spanning-tree propagation (native C++ when built,
+    scipy fallback — identical semantics) over the robust edge relations,
+    followed by confidence-weighted majority relaxation to heal subtree
+    flips caused by noisy relations.
+
+    ``max_dist_voxels`` bounds the participating band around the surface.
+    A UDF's sign structure is only *locally* consistent: around open-sheet
+    borders and through thin walls, wider bands force parity conflicts
+    whose seams damage the mesh.  2.0 voxels keeps thin-walled open shapes
+    (the hard case — e.g. the reference's beetle shell) at paper-level
+    Chamfer while staying wide enough for stable propagation on closed
+    surfaces; raise it for smooth closed shapes (slightly better normal
+    consistency), lower toward 1.75 (the reference's effective band) for
+    very thin geometry.
+    """
     udf = np.ascontiguousarray(udf, np.float32)
     dirs = np.ascontiguousarray(dirs, np.float32)
     participate = udf < max_dist_voxels * voxel_size
     try:
         from ..native import udf_mc as native
 
-        return native.sign_voting(udf, dirs, participate)
+        # pack each axis family's (rel, conf) as one signed weight slab
+        weights = []
+        for axis, (mask, rel, conf) in enumerate(
+            edge_relations(udf, dirs, participate, voxel_size)
+        ):
+            weights.append((rel * conf * mask).astype(np.float32))
+        signs = native.sign_voting(udf, participate, *weights)
     except Exception:
-        return _signs_scipy(udf, dirs, participate)
+        signs = _signs_scipy(udf, dirs, participate, voxel_size)
+    if relax_iters:
+        signs = majority_relaxation(
+            signs, udf, dirs, participate, voxel_size, iters=relax_iters
+        )
+    return signs
 
 
 def gate_cells(udf: np.ndarray, voxel_size: float,
@@ -152,6 +251,24 @@ def gate_cells(udf: np.ndarray, voxel_size: float,
     return (avg < avg_thresh * voxel_size) & (mx <= max_thresh * voxel_size)
 
 
+def _trilinear(udf: np.ndarray, pts: np.ndarray, voxel: float) -> np.ndarray:
+    """Trilinear sample of the (N,N,N) grid at world points in [-1,1]³."""
+    g = (pts + 1.0) / voxel
+    i0 = np.clip(np.floor(g).astype(np.int64), 0, udf.shape[0] - 2)
+    t = g - i0
+    out = np.zeros(len(pts), udf.dtype)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (
+                    (t[:, 0] if dx else 1 - t[:, 0])
+                    * (t[:, 1] if dy else 1 - t[:, 1])
+                    * (t[:, 2] if dz else 1 - t[:, 2])
+                )
+                out += w * udf[i0[:, 0] + dx, i0[:, 1] + dy, i0[:, 2] + dz]
+    return out
+
+
 def extract_mesh_meshudf(
     udf,
     dirs,
@@ -159,9 +276,16 @@ def extract_mesh_meshudf(
     smooth_borders_enabled: bool = True,
     avg_thresh: float = AVG_THRESH,
     max_thresh: float = MAX_THRESH,
+    max_face_dist_voxels: float | None = None,
 ):
     """-> (verts (V,3) in [-1,1]³, faces (F,3)), cleaned like the reference
-    (``render_mc.py:103-199``: cleanup loop + optional border smoothing)."""
+    (``render_mc.py:103-199``: cleanup loop + optional border smoothing).
+
+    ``max_face_dist_voxels``: drop triangles whose centroid UDF exceeds this
+    many voxels.  Low-confidence votes far from the surface can fabricate
+    sign crossings inside the (wide) gate band; this prunes those spurious
+    sheets — the reference has the same step stubbed out
+    (``render_mc.py:142``).  Set None to disable."""
     udf = np.asarray(udf, np.float32)
     udf = np.maximum(udf, 0.0)  # reference clamps negatives (render_mc.py:126)
     dirs = np.asarray(dirs, np.float32)
@@ -188,7 +312,19 @@ def extract_mesh_meshudf(
         idx.astype(np.float64), vals8.astype(np.float64), spacing=voxel
     )
     verts -= 1.0
+    if max_face_dist_voxels is not None and len(faces):
+        centroids = verts[faces].mean(axis=1)
+        d = _trilinear(udf, centroids, voxel)
+        faces = faces[d <= max_face_dist_voxels * voxel]
+        if len(faces) == 0:
+            raise ValueError("Could not find surface in volume")
     verts, faces = clean_mesh(verts, faces)
+    from .postprocess import orient_faces_consistently, remove_small_components
+
+    verts, faces = remove_small_components(verts, faces)
+    if len(faces) == 0:
+        raise ValueError("Could not find surface in volume")
+    faces = orient_faces_consistently(faces)
     if smooth_borders_enabled and len(faces):
         verts = smooth_borders(verts, faces)
     return verts, faces

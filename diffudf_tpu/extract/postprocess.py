@@ -104,6 +104,109 @@ def clean_mesh(verts, faces, max_iters: int = 10, fill_holes: bool = True):
     return verts, faces
 
 
+def remove_small_components(verts, faces, min_faces: int = 30):
+    """Drop connected components with fewer than ``min_faces`` triangles.
+
+    Voted-sign extraction can fabricate isolated specks where vote
+    confidence is low; they wreck the normal-consistency metric (random
+    normals) and bloat downstream processing.  Components are computed on
+    the vertex graph.
+    """
+    faces = np.asarray(faces, dtype=np.int64)
+    if len(faces) == 0:
+        return np.asarray(verts), faces
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    n = len(verts)
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    g = coo_matrix((np.ones(len(e)), (e[:, 0], e[:, 1])), shape=(n, n))
+    _, labels = connected_components(g, directed=False)
+    face_label = labels[faces[:, 0]]
+    counts = np.bincount(face_label)
+    keep = counts[face_label] >= min_faces
+    return _drop_unreferenced(np.asarray(verts), faces[keep])
+
+
+def orient_faces_consistently(faces):
+    """Flip faces so neighbouring triangles wind consistently.
+
+    Two faces sharing an edge are consistently oriented iff they traverse
+    the shared edge in opposite directions.  Builds the face-adjacency
+    graph over manifold (2-face) edges and propagates a flip flag over a
+    BFS forest.  Fixes vertex-normal averaging (normal-consistency metric)
+    for extractions whose per-cell sign conventions differ (CAP's per-cell
+    anchors, ``render_mc.py:225-228``).
+
+    Returns a new faces array (orientation of each connected component is
+    arbitrary — callers relying on |cos| metrics don't care).
+    """
+    faces = np.asarray(faces, dtype=np.int64)
+    nf = len(faces)
+    if nf == 0:
+        return faces
+    # directed edges per face
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    face_of = np.tile(np.arange(nf), 3)
+    lo = np.minimum(e[:, 0], e[:, 1])
+    hi = np.maximum(e[:, 0], e[:, 1])
+    key = lo * (faces.max() + 1) + hi
+    forward = (e[:, 0] < e[:, 1]).astype(np.int8)  # direction vs canonical
+
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    face_s = face_of[order]
+    fwd_s = forward[order]
+    # manifold pairs: consecutive equal keys appearing exactly twice
+    same = key_s[1:] == key_s[:-1]
+    # exclude runs longer than 2
+    run_start = np.flatnonzero(np.concatenate([[True], key_s[1:] != key_s[:-1]]))
+    run_len = np.diff(np.concatenate([run_start, [len(key_s)]]))
+    good_run = np.repeat(run_len == 2, run_len)
+    pair_first = np.flatnonzero(same & good_run[1:])
+    fa = face_s[pair_first]
+    fb = face_s[pair_first + 1]
+    # consistent iff they traverse the edge in opposite directions
+    rel = np.where(fwd_s[pair_first] != fwd_s[pair_first + 1], 1, -1)
+
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import breadth_first_order
+
+    graph = coo_matrix(
+        (np.ones(len(fa)), (fa, fb)), shape=(nf, nf)
+    ).tocsr()
+    graph = graph + graph.T
+
+    # vectorised (a, b) -> rel lookup
+    rel_keys = np.concatenate([fa * nf + fb, fb * nf + fa])
+    rel_vals = np.concatenate([rel, rel])
+    rk_order = np.argsort(rel_keys, kind="stable")
+    rel_keys = rel_keys[rk_order]
+    rel_vals = rel_vals[rk_order]
+
+    flip = np.zeros(nf, dtype=np.int8)
+    visited = np.zeros(nf, dtype=bool)
+    for seed in range(nf):
+        if visited[seed]:
+            continue
+        bfs, preds = breadth_first_order(graph, seed, directed=False,
+                                         return_predecessors=True)
+        visited[bfs] = True
+        vs = bfs[1:]
+        if len(vs) == 0:
+            continue
+        ps = preds[vs]
+        pos = np.searchsorted(rel_keys, ps.astype(np.int64) * nf + vs)
+        rels = rel_vals[np.clip(pos, 0, len(rel_vals) - 1)]
+        for v, p, r in zip(vs, ps, rels):
+            # consistent (r=1): same flip state; inconsistent: opposite
+            flip[v] = flip[p] ^ (r < 0)
+    out = faces.copy()
+    sel = flip.astype(bool)
+    out[sel] = out[sel][:, [0, 2, 1]]
+    return out
+
+
 def smooth_borders(verts, faces, lam: float = 0.3, iters: int = 5):
     """Laplacian-smooth open-boundary vertices along the border adjacency
     (``src/render_mc.py:169-197`` semantics: neighbours come from border

@@ -12,24 +12,35 @@ def _native():
     return udf_mc
 
 
+def native_signs(udf, dirs, voxel):
+    """Run the native MST propagation (no relaxation) over the shared
+    robust edge relations."""
+    import numpy as np
+
+    from diffudf_tpu.extract.meshudf import edge_relations
+
+    udf_mc = _native()
+    part = udf < 2 * 1.75 * voxel
+    weights = [
+        (rel * conf * mask).astype(np.float32)
+        for mask, rel, conf in edge_relations(udf, dirs, part, voxel)
+    ]
+    return udf_mc.sign_voting(udf, part.astype(np.uint8), *weights), part
+
+
 class TestNativeSignVoting:
     def test_builds_and_runs(self):
-        udf_mc = _native()
         N = 16
         udf, dirs = sphere_udf(N)
-        voxel = 2 / (N - 1)
-        part = (udf < 2 * 1.75 * voxel).astype(np.uint8)
-        signs = udf_mc.sign_voting(udf, dirs, part)
+        signs, _ = native_signs(udf, dirs, 2 / (N - 1))
         assert signs.shape == (N, N, N)
         assert set(np.unique(signs)) <= {-1, 1}
 
     def test_separates_sphere_sides(self):
-        udf_mc = _native()
         N = 32
         udf, dirs = sphere_udf(N)
         voxel = 2 / (N - 1)
-        part = udf < 2 * 1.75 * voxel
-        signs = udf_mc.sign_voting(udf, dirs, part.astype(np.uint8))
+        signs, part = native_signs(udf, dirs, voxel)
         axis = np.linspace(-1, 1, N)
         x, y, z = np.meshgrid(axis, axis, axis, indexing="ij")
         rn = np.sqrt(x**2 + y**2 + z**2)
@@ -48,8 +59,8 @@ class TestNativeSignVoting:
             udf, dirs = maker(N)
             voxel = 2 / (N - 1)
             part = udf < 2 * 1.75 * voxel
-            s_native = udf_mc.sign_voting(udf, dirs, part.astype(np.uint8))
-            s_scipy = _signs_scipy(udf, dirs, part)
+            s_native, _ = native_signs(udf, dirs, voxel)
+            s_scipy = _signs_scipy(udf, dirs, part, voxel)
             # agreement up to a global flip per connected region; for these
             # single-component fields: exact or exactly-negated inside the
             # participating set
@@ -69,9 +80,8 @@ class TestNativeSignVoting:
         assert set(np.unique(signs)) <= {-1, 1}
 
     def test_empty_participation(self):
-        udf_mc = _native()
         N = 8
         udf = np.ones((N, N, N), np.float32)
         dirs = np.zeros((N, N, N, 3), np.float32)
-        signs = udf_mc.sign_voting(udf, dirs, np.zeros((N, N, N), np.uint8))
+        signs, _ = native_signs(udf, dirs, 2 / (N - 1))
         assert (signs == 1).all()
