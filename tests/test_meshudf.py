@@ -44,7 +44,7 @@ class TestSignVoting:
         axis = np.linspace(-1, 1, N)
         x, y, z = np.meshgrid(axis, axis, axis, indexing="ij")
         rn = np.sqrt(x**2 + y**2 + z**2)
-        near = udf < 2 * 1.75 * voxel
+        near = udf < 2.0 * voxel  # compute_signs' default participation band
         inside = near & (rn < 0.6)
         outside = near & (rn > 0.6)
         # signs must separate the two sides (global flip is fine)
@@ -60,7 +60,7 @@ class TestSignVoting:
         voxel = 2 / (N - 1)
         signs = compute_signs(udf, dirs, voxel)
         axis = np.linspace(-1, 1, N)
-        near = np.abs(axis[None, None, :] - 0.05) < 2 * 1.75 * voxel
+        near = np.abs(axis[None, None, :] - 0.05) < 2.0 * voxel
         near = np.broadcast_to(near, (N, N, N))
         below = near & (axis[None, None, :] < 0.0)
         above = near & (axis[None, None, :] > 0.12)
