@@ -27,13 +27,15 @@ def pixel_rays(width: int, height: int, fov_degrees: float, noise: float = 0.5):
 def look_at_rotation(camera_position: np.ndarray) -> np.ndarray:
     """Rotation turning −ẑ toward the origin from ``camera_position``
     (``generate_st.py:45-61`` semantics, including the degenerate branches)."""
-    a = np.array([0.0, 0.0, -1.0])
     b = -np.asarray(camera_position, dtype=np.float64)
     b = b / np.linalg.norm(b)
-    d = a @ b
-    if np.isclose(d, -1.0):
-        return np.array([[-1.0, 0, 0], [0, 1.0, 0], [0, 0, -1.0]])
-    if np.isclose(d, 1.0):
+    # convention: column 3 (the +z image axis) maps to b, the direction
+    # from the camera toward the origin.  The reference's special-case
+    # branches (generate_st.py:49-56) use the opposite convention from its
+    # general branch; here all cases agree.
+    if np.isclose(b[2], -1.0):  # camera on +z axis
+        return np.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
+    if np.isclose(b[2], 1.0):  # camera on -z axis
         return np.eye(3)
     up = np.array([0.0, 1.0, 0.0]) - (np.array([0.0, 1.0, 0.0]) @ b) * b
     up /= np.linalg.norm(up)
@@ -44,16 +46,23 @@ def look_at_rotation(camera_position: np.ndarray) -> np.ndarray:
 def world_rays(width, height, fov, camera_position, noise: float = 0.5):
     """Unit world-space ray directions from the camera through each pixel.
 
-    Matches the reference's (idiosyncratic but image-correct) construction
-    ``generate_st.py:63-66``: rotate pixel positions, translate by the camera,
-    normalise, negate.
+    Proper pinhole: each ray passes through the camera *center* along the
+    rotated pixel direction.  Deviation from the reference (documented):
+    ``generate_st.py:63-66`` constructs rays from each pixel's world
+    position toward the **origin** (it adds the camera position to a
+    direction before normalising), which makes all rays converge at the
+    origin — the field of view collapses as the camera moves away, and
+    only looks plausible at the reference's close-up fov=120 config.
     """
     cam = np.asarray(camera_position, dtype=np.float64)
     R = look_at_rotation(cam)
     p = pixel_rays(width, height, fov, noise)
-    d = (R @ p.T).T + cam
+    # camera forward is +z in the look-at basis (R's third column points
+    # from the camera toward the origin); pixel_rays uses z = −1, so flip
+    d = p * np.array([1.0, 1.0, -1.0])
+    d = (R @ d.T).T
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    return -d
+    return d
 
 
 def cube_entry_points(ray_dirs: np.ndarray, camera_position, planes=None):
