@@ -91,19 +91,36 @@ def trace_rays(
     return t0, hits, it
 
 
+def _pallas_value_ok(spec) -> bool:
+    return (
+        spec.activation == "sine"
+        and len(set(spec.hidden)) == 1
+        and jax.default_backend() == "tpu"
+    )
+
+
 @partial(
     jax.jit,
-    static_argnames=("spec", "gt_mode", "segment", "fast"),
+    static_argnames=("spec", "gt_mode", "segment", "fast", "use_pallas"),
 )
 def _trace_segment(params, spec, t0, rays, active, hits, *, gt_mode, alpha,
-                   surface_threshold, segment, fast):
+                   surface_threshold, segment, fast, use_pallas=False):
     """``segment`` march iterations over a compact ray bucket; returns the
-    updated (t0, active, hits)."""
-    compute_dtype = jnp.bfloat16 if fast else None
+    updated (t0, active, hits).
 
-    def body(i, carry):
-        t0, active, hits = carry
-        f = value(params, spec, t0, compute_dtype=compute_dtype)
+    Iterations are python-unrolled so the Pallas value kernel sits at the
+    top level of the jit (nesting pallas inside lax loops is pathological
+    for the remote TPU compiler).
+    """
+    compute_dtype = jnp.bfloat16 if fast else None
+    if use_pallas:
+        from ..ops.pallas_value import value_pallas
+
+    for _ in range(segment):
+        if use_pallas:
+            f = value_pallas(params, spec, t0)
+        else:
+            f = value(params, spec, t0, compute_dtype=compute_dtype)
         steps = inverse_map(gt_mode, jnp.abs(f), alpha)
         t1 = t0 + rays * steps[:, None]
         t0 = jnp.where(active[:, None], t1, t0)
@@ -114,9 +131,7 @@ def _trace_segment(params, spec, t0, rays, active, hits, *, gt_mode, alpha,
         in_domain = jnp.all((t0 > -1.0) & (t0 < 1.0), axis=-1)
         hits = hits | (active & thresh & in_domain)
         active = active & ~thresh & in_domain
-        return t0, active, hits
-
-    return lax.fori_loop(0, segment, body, (t0, active, hits))
+    return t0, active, hits
 
 
 @partial(jax.jit, static_argnames=("bucket",))
@@ -166,10 +181,18 @@ def trace_rays_compacted(
     Same contract/result as :func:`trace_rays`; returns numpy
     (positions, hits, iterations).
     """
-    n = origins.shape[0]
-    t0 = jnp.asarray(origins, jnp.float32)
-    rays_d = jnp.asarray(rays, jnp.float32)
-    active = jnp.asarray(active0)
+    n_real = origins.shape[0]
+    # pad to a multiple of 1024 so every power-of-two bucket divides the
+    # pallas value kernel's tile
+    n = ((n_real + 1023) // 1024) * 1024
+    pad = n - n_real
+    t0 = jnp.asarray(
+        np.concatenate([origins, np.zeros((pad, 3), np.float32)]), jnp.float32
+    )
+    rays_d = jnp.asarray(
+        np.concatenate([rays, np.zeros((pad, 3), np.float32)]), jnp.float32
+    )
+    active = jnp.asarray(np.concatenate([active0, np.zeros(pad, bool)]))
     hits = jnp.zeros(n, bool)
     it = 0
     while it < max_iterations:
@@ -184,11 +207,12 @@ def trace_rays_compacted(
             gt_mode=gt_mode, alpha=alpha,
             surface_threshold=surface_threshold,
             segment=min(segment, max_iterations - it), fast=fast,
+            use_pallas=_pallas_value_ok(spec),
         )
         t0, hits = _scatter_back(perm, t0_b, hit_b, t0, hits)
         active = active.at[perm].set(act_b)
         it += segment
-    return np.asarray(t0), np.asarray(hits), it
+    return np.asarray(t0)[:n_real], np.asarray(hits)[:n_real], it
 
 
 def gradient_descent_refine(
