@@ -70,8 +70,13 @@ def generate_final_meshes(params, spec, cfg: TrainConfig, out_dir: str, mesh_ctx
     )
 
 
-def setup_train(cfg: TrainConfig, make_meshes: bool = True, verbose: bool = True):
+def setup_train(cfg: TrainConfig, make_meshes: bool = True, verbose: bool = True,
+                resume: bool = False):
     """Programmatic entry (the ``cuantitative`` driver uses this too).
+
+    ``resume=True`` continues an interrupted run from
+    ``models/train_state.npz`` (params + optimizer state + epoch — exact
+    mid-run resume, a capability the reference lacks).
 
     Returns (training_time_seconds, final mesh or (meshMU, meshCAP) or None).
     """
@@ -84,7 +89,21 @@ def setup_train(cfg: TrainConfig, make_meshes: bool = True, verbose: bool = True
 
     trainer = Trainer(spec, sampler, cfg)
     state = trainer.init_state()
-    if cfg.network.pretrained_dict not in (None, "None", ""):
+    start_epoch = 0
+    resume_path = osp.join(full_path, "models", "train_state.npz")
+    if resume and osp.exists(resume_path):
+        params, opt_state, start_epoch, key = ckpt.load_train_state(
+            resume_path, state.params, state.opt_state
+        )
+        state.params = params
+        state.opt_state = opt_state
+        state.key = key
+        best_path = osp.join(full_path, "models", "model_best.npz")
+        if osp.exists(best_path):
+            state.best_params = ckpt.load_params(best_path)
+        if verbose:
+            print(f"Resuming from epoch {start_epoch}")
+    elif cfg.network.pretrained_dict not in (None, "None", ""):
         state.params = ckpt.load_params(cfg.network.pretrained_dict)
         state.best_params = state.params
 
@@ -116,7 +135,9 @@ def setup_train(cfg: TrainConfig, make_meshes: bool = True, verbose: bool = True
                 f" - Learning Rate: {float(logs['lr'][-1]):.3e}"
             )
 
-    state, losses, train_time = trainer.run(callback=on_chunk)
+    state, losses, train_time = trainer.run(
+        state=state, start_epoch=start_epoch, callback=on_chunk
+    )
 
     # losses.csv (reference ``train.py:394-395``; ';' separator) + TensorBoard
     logger.flush_csv("losses.csv", exclude=("lr", "epoch_loss"))
@@ -150,9 +171,11 @@ def main(argv=None):
     parser.add_argument("device", type=int, nargs="?", default=0,
                         help="accepted for reference-CLI parity; devices are "
                              "managed by JAX")
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from models/train_state.npz")
     args = parser.parse_args(argv)
     cfg = TrainConfig.from_json(args.experiment_path)
-    t, _, _ = setup_train(cfg)
+    t, _, _ = setup_train(cfg, resume=args.resume)
     print(f"Training time: {t:.1f}s")
 
 

@@ -157,3 +157,37 @@ class TestGenerateDF:
                     str(demo_dir / "torus_t.obj"), outdir, opts)
         assert os.path.exists(outdir + "distance_fields.png")
         assert os.path.exists(outdir + "pred_grad.png")
+
+
+class TestResume:
+    def test_resume_continues(self, demo_dir):
+        import dataclasses
+
+        from diffudf_tpu.cli.train import setup_train
+
+        base = {
+            "num_epochs": 20, "s1_epochs": 40, "warmup_epochs": 0,
+            "dataset": str(demo_dir / "torus"), "batch_size": 192,
+            "sampling_percentiles": [0.333, 0.666], "batches_per_epoch": 1,
+            "checkpoint_path": str(demo_dir / "res_resume"), "experiment_name": "e",
+            "epochs_to_checkpoint": 0, "gt_mode": "tanh",
+            "loss_s1_weights": [1e4, 1e4, 1e4, 1e3], "loss_s2_weights": [1e5, 1e5],
+            "alpha": 10,
+            "optimizer": {"type": "adam", "lr_s1": 1e-4, "lr_s2": 1e-6},
+            "network": {"hidden_layer_nodes": [16, 16], "w0": 30,
+                        "pretrained_dict": "None"},
+            "resolution": 0,
+        }
+        cfg1 = TrainConfig.from_dict(base)
+        setup_train(cfg1, make_meshes=False, verbose=False)
+        state_file = (demo_dir / "res_resume" / "e" / "models" / "train_state.npz")
+        assert state_file.exists()
+        import numpy as np
+
+        epoch_before = int(np.load(state_file)["epoch"])
+        assert epoch_before == 20
+        # extend the schedule and resume
+        cfg2 = TrainConfig.from_dict({**base, "num_epochs": 30})
+        t, _, st = setup_train(cfg2, make_meshes=False, verbose=False, resume=True)
+        epoch_after = int(np.load(state_file)["epoch"])
+        assert epoch_after == 30
