@@ -129,6 +129,19 @@ def setup_train(cfg: TrainConfig, make_meshes: bool = True, verbose: bool = True
             ckpt.save_params(
                 osp.join(models_dir, f"model_{epoch_end}.npz"), st.params, spec
             )
+            if cfg.resolution:
+                # periodic reconstruction (reference ``train.py:252-269``);
+                # runs in the callback, so it is excluded from train_time
+                from .generate_mc import run_mc
+
+                if verbose:
+                    print("Generating mesh")
+                run_mc(
+                    st.params, spec, cfg.gt_mode, cfg.resolution,
+                    osp.join(recon_dir, f"mc_mesh_{epoch_end}.obj"),
+                    cfg.alpha,
+                    "both" if cfg.gt_mode == "tanh" else "siren",
+                )
         if verbose:
             print(
                 f"Epoch: {epoch_end} - Loss: {float(logs['epoch_loss'][-1]):.6f}"
