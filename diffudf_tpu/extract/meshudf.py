@@ -32,17 +32,15 @@ from .cap import _corner_views
 from .postprocess import clean_mesh, smooth_borders
 from .tet_mc import marching_tets_cells
 
-# Cell gates, in voxels: avg(corner udf) < AVG_THRESH and max ≤ MAX_THRESH.
-# The reference uses 1.05 / 1.75 (tuned for its Lewiner-MC + vote machinery,
-# ``_marching_cubes_lewiner.py:80``); with the marching-tets backend and the
-# robust voting here, a tighter band improves BOTH Chamfer and normal
-# consistency on closed and open benchmarks (beetle L1 10.0→7.8e-3,
-# NC 0.39→0.25; torus NC 0.080→0.057) by excluding fringe cells whose votes
-# are least reliable.  Pass avg_thresh/max_thresh for reference values.
-AVG_THRESH = 0.6
-MAX_THRESH = 1.0
-REFERENCE_AVG_THRESH = 1.05
-REFERENCE_MAX_THRESH = 1.75
+# Cell gates, in voxels (reference values, ``_marching_cubes_lewiner.py:80``):
+# avg(corner udf) < AVG_THRESH and max ≤ MAX_THRESH.  On top of these,
+# extraction drops cells whose *vote confidence* is low (see
+# ``extract_mesh_meshudf``): on exact fields confidence is uniformly high so
+# nothing is lost (watertightness preserved), while on learned fields the
+# low-confidence fringe is exactly where spurious geometry lives.
+AVG_THRESH = 1.05
+MAX_THRESH = 1.75
+CONF_GATE_FRACTION = 0.1  # of the median participating-vertex confidence
 
 
 def edge_relations(udf: np.ndarray, dirs: np.ndarray, participate: np.ndarray,
@@ -106,7 +104,7 @@ def edge_relations(udf: np.ndarray, dirs: np.ndarray, participate: np.ndarray,
 
 def majority_relaxation(signs: np.ndarray, udf: np.ndarray, dirs: np.ndarray,
                         participate: np.ndarray, voxel: float,
-                        iters: int = 30) -> np.ndarray:
+                        iters: int = 30):
     """Iteratively re-vote each vertex's sign from its 6 neighbours.
 
     A spanning tree propagates one wrong relation into a whole wrong
@@ -114,6 +112,10 @@ def majority_relaxation(signs: np.ndarray, udf: np.ndarray, dirs: np.ndarray,
     regions (the array analogue of the reference's accumulate-votes +
     revisit-unsure BFS, ``_marching_cubes_lewiner_cy.pyx:1243-1375``).
     Fully vectorised: each iteration is six shifted multiply-adds.
+
+    Returns (signs, confidence): confidence is the magnitude of the final
+    weighted neighbourhood vote per vertex — low where the sign assignment
+    is unreliable (parity seams, noisy fringe).
     """
     rels = edge_relations(udf, dirs, participate, voxel)
     weights = []
@@ -121,6 +123,7 @@ def majority_relaxation(signs: np.ndarray, udf: np.ndarray, dirs: np.ndarray,
         weights.append((conf * rel * mask).astype(np.float32))
     s = signs.astype(np.float32) * participate
     n_part = max(int(participate.sum()), 1)
+    acc = np.zeros_like(s)
     for _ in range(iters):
         acc = np.zeros_like(s)
         for axis, w in enumerate(weights):
@@ -139,7 +142,7 @@ def majority_relaxation(signs: np.ndarray, udf: np.ndarray, dirs: np.ndarray,
     out = signs.copy()
     nz = (s != 0) & participate
     out[nz] = s[nz].astype(np.int8)
-    return out
+    return out, np.abs(acc)
 
 
 def _signs_scipy(udf, dirs, participate, voxel):
@@ -211,7 +214,8 @@ def _signs_scipy(udf, dirs, participate, voxel):
 
 def compute_signs(udf: np.ndarray, dirs: np.ndarray, voxel_size: float,
                   max_dist_voxels: float = 2.0,
-                  relax_iters: int = 30):
+                  relax_iters: int = 30,
+                  return_confidence: bool = False):
     """Pseudo-sign (+1/−1) per grid vertex.
 
     Maximum-confidence spanning-tree propagation (native C++ when built,
@@ -244,10 +248,13 @@ def compute_signs(udf: np.ndarray, dirs: np.ndarray, voxel_size: float,
         signs = native.sign_voting(udf, participate, *weights)
     except Exception:
         signs = _signs_scipy(udf, dirs, participate, voxel_size)
+    conf = None
     if relax_iters:
-        signs = majority_relaxation(
+        signs, conf = majority_relaxation(
             signs, udf, dirs, participate, voxel_size, iters=relax_iters
         )
+    if return_confidence:
+        return signs, conf, participate
     return signs
 
 
@@ -301,10 +308,20 @@ def extract_mesh_meshudf(
     N = udf.shape[0]
     voxel = 2.0 / (N - 1)
 
-    signs = compute_signs(udf, dirs, voxel)
+    signs, conf, participate = compute_signs(udf, dirs, voxel,
+                                             return_confidence=True)
     signed = udf * signs
 
     gates = gate_cells(udf, voxel, avg_thresh, max_thresh)
+    if conf is not None:
+        # drop cells whose least-confident corner is far below the typical
+        # vote confidence: exact fields are uniformly confident (no cells
+        # lost), learned fields lose exactly the unreliable fringe
+        ref_conf = np.median(conf[participate & (conf > 0)]) if participate.any() else 0.0
+        if ref_conf > 0:
+            cc = _corner_views(conf)
+            cmin = np.minimum.reduce(cc)
+            gates = gates & (cmin > CONF_GATE_FRACTION * ref_conf)
     uc = _corner_views(signed)
     vals8 = None
     idx = np.argwhere(gates)
