@@ -191,3 +191,30 @@ class TestResume:
         t, _, st = setup_train(cfg2, make_meshes=False, verbose=False, resume=True)
         epoch_after = int(np.load(state_file)["epoch"])
         assert epoch_after == 30
+
+
+class TestSirenMode:
+    def test_siren_gt_mode_end_to_end(self, demo_dir):
+        """gt_mode='siren': signed-SDF training + signed-MC extraction."""
+        from diffudf_tpu.cli.train import setup_train
+
+        cfg = TrainConfig.from_dict({
+            "num_epochs": 40, "s1_epochs": 40, "warmup_epochs": 5,
+            "dataset": str(demo_dir / "torus"), "batch_size": 256,
+            "sampling_percentiles": [0.333, 0.666], "batches_per_epoch": 1,
+            "checkpoint_path": str(demo_dir / "res_siren"), "experiment_name": "s",
+            "epochs_to_checkpoint": 0, "gt_mode": "siren",
+            "loss_weights": [3e3, 1e2, 1e2, 5e1],
+            "alpha": 1,
+            "optimizer": {"type": "adam", "lr": 1e-4, "lr_s1": 1e-4, "lr_s2": 1e-6},
+            "network": {"hidden_layer_nodes": [24, 24], "w0": 30,
+                        "pretrained_dict": "None"},
+            "resolution": 20,
+        })
+        t, mesh, state = setup_train(cfg, verbose=False)
+        out = demo_dir / "res_siren" / "s"
+        assert (out / "reconstructions" / "mc_mesh_best.obj").exists()
+        # signed MC of a siren SDF: single mesh artifact (not _MU/_CAP)
+        assert mesh is not None
+        header = open(out / "losses.csv").readline()
+        assert "normal_constraint" in header
