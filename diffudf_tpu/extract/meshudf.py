@@ -121,28 +121,72 @@ def majority_relaxation(signs: np.ndarray, udf: np.ndarray, dirs: np.ndarray,
     weights = []
     for axis, (mask, rel, conf) in enumerate(rels):
         weights.append((conf * rel * mask).astype(np.float32))
-    s = signs.astype(np.float32) * participate
-    n_part = max(int(participate.sum()), 1)
-    acc = np.zeros_like(s)
-    for _ in range(iters):
+    s0 = signs.astype(np.float32) * participate
+
+    try:  # device path: six shifted multiply-adds per iteration, trivial on TPU
+        import jax
+
+        if jax.default_backend() != "cpu":
+            s, acc = _relax_device(
+                jnp_arr(s0), tuple(jnp_arr(w) for w in weights), iters
+            )
+            s = np.asarray(s)
+            acc = np.asarray(acc)
+        else:
+            raise RuntimeError
+    except Exception:
+        s = s0
+        n_part = max(int(participate.sum()), 1)
         acc = np.zeros_like(s)
-        for axis, w in enumerate(weights):
-            sl_a = [slice(None)] * 3
-            sl_b = [slice(None)] * 3
-            sl_a[axis] = slice(0, -1)
-            sl_b[axis] = slice(1, None)
-            sl_a, sl_b = tuple(sl_a), tuple(sl_b)
-            acc[sl_a] += w * s[sl_b]
-            acc[sl_b] += w * s[sl_a]
-        new = np.where(acc != 0, np.sign(acc), s)
-        flips = int((new != s).sum())
-        s = new
-        if flips <= n_part // 10000:
-            break
+        for _ in range(iters):
+            acc = np.zeros_like(s)
+            for axis, w in enumerate(weights):
+                sl_a = [slice(None)] * 3
+                sl_b = [slice(None)] * 3
+                sl_a[axis] = slice(0, -1)
+                sl_b[axis] = slice(1, None)
+                sl_a, sl_b = tuple(sl_a), tuple(sl_b)
+                acc[sl_a] += w * s[sl_b]
+                acc[sl_b] += w * s[sl_a]
+            new = np.where(acc != 0, np.sign(acc), s)
+            flips = int((new != s).sum())
+            s = new
+            if flips <= n_part // 10000:
+                break
     out = signs.copy()
     nz = (s != 0) & participate
     out[nz] = s[nz].astype(np.int8)
     return out, np.abs(acc)
+
+
+def jnp_arr(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
+def _relax_device(s, weights, iters):
+    """jitted majority relaxation (fixed iteration count, same fixpoint)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(s, wx, wy, wz):
+        def body(i, carry):
+            s, _ = carry
+            acc = jnp.zeros_like(s)
+            acc = acc.at[:-1].add(wx * s[1:])
+            acc = acc.at[1:].add(wx * s[:-1])
+            acc = acc.at[:, :-1].add(wy * s[:, 1:])
+            acc = acc.at[:, 1:].add(wy * s[:, :-1])
+            acc = acc.at[:, :, :-1].add(wz * s[:, :, 1:])
+            acc = acc.at[:, :, 1:].add(wz * s[:, :, :-1])
+            s = jnp.where(acc != 0, jnp.sign(acc), s)
+            return s, acc
+
+        return jax.lax.fori_loop(0, iters, body, (s, jnp.zeros_like(s)))
+
+    return run(s, *weights)
 
 
 def _signs_scipy(udf, dirs, participate, voxel):
