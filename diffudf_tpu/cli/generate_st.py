@@ -52,6 +52,7 @@ def create_projectional_image(
         gt_mode=gt_mode, alpha=alpha,
         surface_threshold=rendering_config["surface_threshold"],
         max_iterations=rendering_config.get("max_iterations", 100),
+        relaxation=rendering_config.get("relaxation", 1.0),
     )
     positions = jnp.asarray(positions)
     hits = jnp.asarray(hits)

@@ -101,33 +101,60 @@ def _pallas_value_ok(spec) -> bool:
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "gt_mode", "segment", "fast", "use_pallas"),
+    static_argnames=("spec", "gt_mode", "segment", "fast", "use_pallas",
+                     "relaxation"),
 )
 def _trace_segment(params, spec, t0, rays, active, hits, *, gt_mode, alpha,
-                   surface_threshold, segment, fast, use_pallas=False):
+                   surface_threshold, segment, fast, use_pallas=False,
+                   relaxation: float = 1.0):
     """``segment`` march iterations over a compact ray bucket; returns the
     updated (t0, active, hits).
 
     Iterations are python-unrolled so the Pallas value kernel sits at the
     top level of the jit (nesting pallas inside lax loops is pathological
     for the remote TPU compiler).
+
+    ``relaxation`` ω > 1 enables over-relaxed sphere tracing (Keinert et
+    al. 2014), one field eval per iteration: march ω·d; if the next
+    unbounding sphere fails to overlap the previous one
+    (d_new < (ω−1)·d_prev) the surface may sit in the uncovered gap, so
+    the ray reverts to the conservative position t_prev + d_prev and
+    re-marches from there.  Convergence (hit) checks only fire on
+    non-reverted evaluations, so the hit criterion is unchanged.
     """
     compute_dtype = jnp.bfloat16 if fast else None
     if use_pallas:
         from ..ops.pallas_value import value_pallas
 
-    for _ in range(segment):
+    def field(pts):
         if use_pallas:
-            f = value_pallas(params, spec, t0)
+            return value_pallas(params, spec, pts)
+        return value(params, spec, pts, compute_dtype=compute_dtype)
+
+    omega = float(relaxation)
+    prev_d = jnp.zeros(t0.shape[0], t0.dtype)  # conservative step last taken
+    for _ in range(segment):
+        f = field(t0)
+        d = inverse_map(gt_mode, jnp.abs(f), alpha)
+        if omega > 1.0:
+            fail = active & (d < (omega - 1.0) * prev_d)
+            # revert to the conservative position t_prev + d_prev·ray
+            t0 = jnp.where(
+                fail[:, None], t0 - rays * ((omega - 1.0) * prev_d)[:, None], t0
+            )
+            adv = jnp.where(fail, 0.0, omega * d)
+            valid_eval = ~fail
+            prev_d = jnp.where(fail, 0.0, d)
         else:
-            f = value(params, spec, t0, compute_dtype=compute_dtype)
-        steps = inverse_map(gt_mode, jnp.abs(f), alpha)
-        t1 = t0 + rays * steps[:, None]
+            adv = d
+            valid_eval = jnp.ones_like(active)
+            prev_d = d
+        t1 = t0 + rays * adv[:, None]
         t0 = jnp.where(active[:, None], t1, t0)
         if gt_mode == "siren":
-            thresh = f < surface_threshold
+            thresh = valid_eval & (f < surface_threshold)
         else:
-            thresh = jnp.abs(steps) < surface_threshold
+            thresh = valid_eval & (jnp.abs(d) < surface_threshold)
         in_domain = jnp.all((t0 > -1.0) & (t0 < 1.0), axis=-1)
         hits = hits | (active & thresh & in_domain)
         active = active & ~thresh & in_domain
@@ -166,6 +193,7 @@ def trace_rays_compacted(
     max_iterations: int = 100,
     segment: int = 8,
     fast: bool = True,
+    relaxation: float = 1.0,
 ):
     """March with periodic *on-device* active-ray compaction.
 
@@ -207,7 +235,7 @@ def trace_rays_compacted(
             gt_mode=gt_mode, alpha=alpha,
             surface_threshold=surface_threshold,
             segment=min(segment, max_iterations - it), fast=fast,
-            use_pallas=_pallas_value_ok(spec),
+            use_pallas=_pallas_value_ok(spec), relaxation=relaxation,
         )
         t0, hits = _scatter_back(perm, t0_b, hit_b, t0, hits)
         active = active.at[perm].set(act_b)
