@@ -8,12 +8,12 @@ the TPU-framework way:
 
   1. gates are vectorised array ops (``gate_cells``);
   2. sign assignment is a *maximum-confidence spanning tree* sign
-     propagation over the near-surface vertex graph — edge relation −1 when
-     the two endpoint direction vectors indicate a surface crossing between
-     them (opposing projections along the edge), +1 otherwise; confidence =
-     product of projection magnitudes.  The priority-BFS the reference votes
-     with is exactly Prim's algorithm on this graph, which is what the
-     native C++ module implements (``native/udf_mc``); a scipy
+     propagation over the near-surface vertex graph, using robust edge
+     relations that fuse UDF-value triangle-inequality constraints with the
+     direction-projection test (see ``edge_relations``), followed by
+     confidence-weighted majority relaxation.  The priority-BFS the
+     reference votes with is exactly Prim's algorithm on this graph, which
+     is what the native C++ module implements (``native/udf_mc``); a scipy
      minimum-spanning-tree fallback gives identical semantics without the
      native build;
   3. triangulation of the sign·udf field is the same vectorised marching
@@ -25,6 +25,8 @@ avg(cell corner udf) < 1.05·voxel and max ≤ 1.75·voxel.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -123,10 +125,14 @@ def majority_relaxation(signs: np.ndarray, udf: np.ndarray, dirs: np.ndarray,
         weights.append((conf * rel * mask).astype(np.float32))
     s0 = signs.astype(np.float32) * participate
 
-    try:  # device path: six shifted multiply-adds per iteration, trivial on TPU
+    # Device path (six shifted multiply-adds per iteration, trivial on TPU)
+    # is opt-in: on remote/tunneled platforms the grid upload costs far more
+    # than the host compute saves.
+    use_device = bool(int(os.environ.get("DIFFUDF_RELAX_ON_DEVICE", "0")))
+    try:
         import jax
 
-        if jax.default_backend() != "cpu":
+        if use_device and jax.default_backend() != "cpu":
             s, acc = _relax_device(
                 jnp_arr(s0), tuple(jnp_arr(w) for w in weights), iters
             )

@@ -184,25 +184,41 @@ def orient_faces_consistently(faces):
     rel_keys = rel_keys[rk_order]
     rel_vals = rel_vals[rk_order]
 
-    flip = np.zeros(nf, dtype=np.int8)
-    visited = np.zeros(nf, dtype=bool)
+    # Spanning forest parents via BFS per component; the flip flag of a face
+    # is the XOR of edge-inconsistency flags along its tree path, computed
+    # in O(log F) vectorised pointer-doubling rounds (the previous python
+    # walk over every face cost ~10 s at 1M faces).
+    parent = np.arange(nf, dtype=np.int64)  # roots point to themselves
+    seen = np.zeros(nf, dtype=bool)
     for seed in range(nf):
-        if visited[seed]:
+        if seen[seed]:
             continue
         bfs, preds = breadth_first_order(graph, seed, directed=False,
                                          return_predecessors=True)
-        visited[bfs] = True
+        seen[bfs] = True
         vs = bfs[1:]
-        if len(vs) == 0:
-            continue
-        ps = preds[vs]
-        pos = np.searchsorted(rel_keys, ps.astype(np.int64) * nf + vs)
+        if len(vs):
+            parent[vs] = preds[vs]
+
+    # flag[v] = 1 iff the tree edge (parent[v], v) is winding-inconsistent
+    flag = np.zeros(nf, dtype=np.int8)
+    vs = np.flatnonzero(parent != np.arange(nf))
+    if len(vs):
+        pos = np.searchsorted(rel_keys, parent[vs] * nf + vs)
         rels = rel_vals[np.clip(pos, 0, len(rel_vals) - 1)]
-        for v, p, r in zip(vs, ps, rels):
-            # consistent (r=1): same flip state; inconsistent: opposite
-            flip[v] = flip[p] ^ (r < 0)
+        flag[vs] = (rels < 0).astype(np.int8)
+
+    # pointer doubling: acc[v] accumulates the path XOR, ptr[v] jumps 2^k up
+    acc = flag.copy()
+    ptr = parent.copy()
+    for _ in range(64):
+        nxt = ptr[ptr]
+        if np.array_equal(nxt, ptr):
+            break
+        acc ^= acc[ptr]
+        ptr = nxt
     out = faces.copy()
-    sel = flip.astype(bool)
+    sel = acc.astype(bool)
     out[sel] = out[sel][:, [0, 2, 1]]
     return out
 
