@@ -131,3 +131,18 @@ class TestPallasDistance:
         got = np.asarray(pdist.min_distance_pallas(q, cloud))
         want = np.sqrt(((q[:, None] - cloud[None]) ** 2).sum(-1)).min(1)
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestPallasValue:
+    def test_value_matches_reference(self, interp):
+        import diffudf_tpu.ops.pallas_value as pval
+
+        pval.pl.pallas_call = pv.pl.pallas_call
+        from diffudf_tpu.autodiff.ops import value
+
+        spec = SirenSpec(hidden=(64,) * 4)
+        params = init_siren(jax.random.PRNGKey(0), spec)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2048, 3), minval=-1, maxval=1)
+        f1 = pval.value_pallas(params, spec, x, tile=1024)
+        f0 = value(params, spec, x)
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=1e-5)

@@ -164,3 +164,27 @@ class TestPointCloud:
         cos = np.sum(oriented * outward, axis=1)
         # consistent: (almost) all point the same way
         assert (np.abs(np.sign(cos).sum()) / 500) > 0.95
+
+
+class TestOverRelaxation:
+    def test_relaxed_march_matches_conservative(self, trained_sphere):
+        """omega > 1 must converge to the same hits/positions."""
+        params, spec, r, alpha = trained_sphere
+        cam = [0.0, 0.0, 2.5]
+        rays = world_rays(32, 32, 35, cam, noise=0.5)
+        t0, valid = cube_entry_points(rays, cam)
+        from diffudf_tpu.render.tracer import trace_rays_compacted
+
+        kw = dict(gt_mode="tanh", alpha=alpha, surface_threshold=0.02,
+                  max_iterations=80)
+        p1, h1, _ = trace_rays_compacted(params, spec, t0, rays, valid,
+                                         relaxation=1.0, **kw)
+        p2, h2, _ = trace_rays_compacted(params, spec, t0, rays, valid,
+                                         relaxation=1.6, **kw)
+        # the session's weak test model has fuzzy convergence at grazing
+        # rays; on converged models agreement is >0.999 (see PERFORMANCE.md)
+        assert (h1 == h2).mean() > 0.85
+        both = h1 & h2
+        if both.any():
+            d = np.linalg.norm(p1[both] - p2[both], axis=1)
+            assert np.median(d) < 0.05
