@@ -111,9 +111,18 @@ class Trainer:
         cfg = self.cfg
         dd = jnp.dtype(cfg.deriv_dtype) if cfg.deriv_dtype else None
         if stage == "s1":
+            # Under data-parallel sharding, slicing the leading n_surface
+            # rows would reshard across devices; the masked full-batch
+            # Hessian path shards evenly instead (costs the off-surface
+            # Hessians back, but scales cleanly).  Single-chip uses the
+            # split + fused Pallas ops.
+            n_surface = (
+                self.sampler.static.sizes.on_surface
+                if self.mesh.size == 1 else None
+            )
             return loss_s1(params, self.spec, points, normals, sdf,
                            cfg.loss_s1_weights, cfg.alpha, deriv_dtype=dd,
-                           n_surface=self.sampler.static.sizes.on_surface,
+                           n_surface=n_surface,
                            vgh_fn=self._vgh_op, vg_fn=self._vg_op)
         if stage == "s2":
             return loss_s2(params, self.spec, points, normals, sdf,
