@@ -149,19 +149,40 @@ def orient_normals_consistent(points: np.ndarray, normals: np.ndarray, k: int = 
     mst = minimum_spanning_tree(graph)
     mst = (mst + mst.T).tocsr()
 
-    out = normals.copy()
-    visited = np.zeros(n, bool)
+    # spanning-forest parents (seeded at the topmost point of each
+    # component), then flip flags as path-XOR of "neighbouring original
+    # normals disagree" relations — vectorised pointer doubling instead of
+    # a python walk (the relation is static: flip[v] = flip[parent] XOR
+    # (n_parent·n_v < 0))
+    parent = np.arange(n, dtype=np.int64)
+    seen = np.zeros(n, bool)
+    root_flip = np.zeros(n, np.int8)
     seed_order = np.argsort(-points[:, 2])
     for seed in seed_order:
-        if visited[seed]:
+        if seen[seed]:
             continue
         order, preds = breadth_first_order(mst, seed, directed=False,
                                            return_predecessors=True)
-        visited[order] = True
-        if out[seed, 2] < 0:
-            out[seed] = -out[seed]
-        for v in order[1:]:
-            p = preds[v]
-            if np.dot(out[p], out[v]) < 0:
-                out[v] = -out[v]
+        seen[order] = True
+        vs = order[1:]
+        if len(vs):
+            parent[vs] = preds[vs]
+        root_flip[seed] = 1 if normals[seed, 2] < 0 else 0
+
+    flag = np.zeros(n, np.int8)
+    vs = np.flatnonzero(parent != np.arange(n))
+    if len(vs):
+        dots = np.sum(normals[parent[vs]] * normals[vs], axis=1)
+        flag[vs] = (dots < 0).astype(np.int8)
+    acc = flag ^ root_flip[parent] * 0  # per-node edge flag; root flip added below
+    ptr = parent.copy()
+    for _ in range(64):
+        nxt = ptr[ptr]
+        if np.array_equal(nxt, ptr):
+            break
+        acc ^= acc[ptr]
+        ptr = nxt
+    # ptr now points at each node's root: fold in the root's own flip
+    acc ^= root_flip[ptr]
+    out = np.where(acc[:, None].astype(bool), -normals, normals)
     return out
