@@ -174,7 +174,7 @@ def orient_normals_consistent(points: np.ndarray, normals: np.ndarray, k: int = 
     if len(vs):
         dots = np.sum(normals[parent[vs]] * normals[vs], axis=1)
         flag[vs] = (dots < 0).astype(np.int8)
-    acc = flag ^ root_flip[parent] * 0  # per-node edge flag; root flip added below
+    acc = flag.copy()  # per-node edge flag; the root's own flip folds in below
     ptr = parent.copy()
     for _ in range(64):
         nxt = ptr[ptr]
