@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Benchmark: sphere-tracing throughput (rays/sec) on a fitted field.
+
+Workload mirrors the reference's render driver (``generate_st.py`` with
+``st_cfg.json``): 720×720 pinhole rays into the domain cube, marched on the
+flagship 8×256 SIREN against a fitted tanh-UDF, surface_threshold 0.004,
+up to 100 iterations.  The model is fitted in-process (sphere cloud, short
+recipe) so the march has realistic convergence behaviour — an untrained
+field would let rays die instantly and inflate the number.
+
+Prints ONE json line:
+  {"metric": "rays_per_sec", "value": N, "unit": "Mrays/s", "vs_baseline": R}
+vs_baseline is against the reference tracer's ~0.045 Mrays/s (4096-point
+chunks with a host round trip per march iteration, ``src/render_st.py:
+13-36,140-157``; BASELINE.md demands ≥10×).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    import os
+
+    cache_dir = os.path.expanduser("~/.cache/jax_compilation")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+
+    from diffudf_tpu.config import TrainConfig
+    from diffudf_tpu.data.sampling import TrainingSampler
+    from diffudf_tpu.fields.siren import SirenSpec
+    from diffudf_tpu.render.camera import cube_entry_points, world_rays
+    from diffudf_tpu.render.tracer import trace_rays_compacted
+    from diffudf_tpu.train.loop import Trainer
+    from diffudf_tpu.utils.timing import force_sync
+
+    rng = np.random.default_rng(123)
+    pts = rng.normal(size=(100000, 3)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    pts *= 0.7
+    normals = (pts / 0.7).astype(np.float32)
+
+    alpha = 10.0
+    cfg = TrainConfig(
+        num_epochs=800, s1_epochs=800, warmup_epochs=100,
+        batch_size=30000, alpha=alpha,
+        lr_s1=1e-5, lr_s2=1e-7, warmup_lr=1e-4,
+    )
+    spec = SirenSpec(hidden=(256,) * 8)
+    sampler = TrainingSampler.from_point_cloud(
+        pts, normals, cfg.batch_size, cfg.sampling_percentiles
+    )
+    trainer = Trainer(spec, sampler, cfg)
+    state, _, _ = trainer.run(chunk_size=400)
+    params = state.best_params
+
+    width = height = 720
+    cam = [2.0, 2.0, 3.5]
+    rays = world_rays(width, height, 40.0, cam, noise=0.0)
+    t0, active = cube_entry_points(rays, cam)
+
+    def run(seed):
+        # vary the ray set per run (tiny jitter) so the remote platform
+        # cannot serve a memoized result for identical (executable, input)
+        r = np.random.default_rng(seed)
+        j = (r.random((len(rays), 3)).astype(np.float32) - 0.5) * 1e-5
+        return trace_rays_compacted(
+            params, spec, (t0 + j).astype(np.float32),
+            rays.astype(np.float32), active,
+            gt_mode="tanh", alpha=alpha, surface_threshold=0.004,
+            max_iterations=100, segment=8,
+        )
+
+    run(0)  # warmup: compiles every bucket size the march visits
+    force_sync(jax.tree_util.tree_leaves(params)[0])
+
+    n_passes = 3
+    t_start = time.perf_counter()
+    hits_total = 0
+    for p in range(1, n_passes + 1):
+        _, hits, _ = run(p)
+        hits_total += int(hits.sum())
+    dt = time.perf_counter() - t_start
+
+    n_rays = width * height * n_passes
+    mrays = n_rays / dt / 1e6
+    assert hits_total > 0.2 * n_rays, "tracer found too few hits — bad fit?"
+    baseline = 0.045  # Mrays/s, reference estimate (PERFORMANCE.md)
+    print(json.dumps({
+        "metric": "rays_per_sec",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -6,7 +6,7 @@ Reference-compatible surface (``generate_mc.py``):
 
 Config keys (``configs/mc_cfg.json``): alpha, gt_mode, hidden_layer_nodes,
 w0, model_path (.npz), output_path, algorithm ∈ {meshudf, cap, both, siren},
-nsamples (grid N).
+nsamples (grid N), triangulator ∈ {mc33, tets} (optional, default mc33).
 """
 
 from __future__ import annotations
@@ -30,8 +30,15 @@ VALID_ALGORITHMS = ("meshudf", "cap", "both", "siren")
 
 
 def run_mc(params, spec, gt_mode, N, output_path, alpha=None, algorithm="meshudf",
-           mesh=None):
-    """Extract and save mesh(es); returns Mesh or (meshMU, meshCAP)."""
+           mesh=None, triangulator=None):
+    """Extract and save mesh(es); returns Mesh or (meshMU, meshCAP).
+
+    triangulator: "mc33" (default) or "tets" — see extract.triangulate.
+    """
+    from ..extract.triangulate import DEFAULT_TRIANGULATOR
+
+    if triangulator is None:
+        triangulator = DEFAULT_TRIANGULATOR
     if algorithm not in VALID_ALGORITHMS:
         raise ValueError(
             f"Invalid algorithm {algorithm!r}; expected one of {VALID_ALGORITHMS}"
@@ -39,7 +46,7 @@ def run_mc(params, spec, gt_mode, N, output_path, alpha=None, algorithm="meshudf
     ckpt.check_params_match_spec(params, spec)
     if algorithm == "siren":
         sdf = np.asarray(extract_sdf_grid(params, spec, N, mesh=mesh))
-        verts, faces = extract_mesh_signed(sdf)
+        verts, faces = extract_mesh_signed(sdf, triangulator=triangulator)
         m = Mesh(verts, faces)
         save_mesh(output_path, m)
         print(f"Saved to {output_path}")
@@ -50,23 +57,23 @@ def run_mc(params, spec, gt_mode, N, output_path, alpha=None, algorithm="meshudf
     dirs = np.asarray(dirs)
 
     if algorithm == "cap":
-        verts, faces = _cap_postprocessed(udf, dirs, N)
+        verts, faces = _cap_postprocessed(udf, dirs, N, triangulator)
         m = Mesh(verts, faces)
         save_mesh(output_path, m)
         print(f"Saved to {output_path}")
         return m
     if algorithm == "meshudf":
-        verts, faces = extract_mesh_meshudf(udf, dirs)
+        verts, faces = extract_mesh_meshudf(udf, dirs, triangulator=triangulator)
         m = Mesh(verts, faces)
         save_mesh(output_path, m)
         print(f"Saved to {output_path}")
         return m
     if algorithm == "both":
         stem, ext = os.path.splitext(output_path)
-        verts, faces = extract_mesh_meshudf(udf, dirs)
+        verts, faces = extract_mesh_meshudf(udf, dirs, triangulator=triangulator)
         mesh_mu = Mesh(verts, faces)
         save_mesh(stem + "_MU" + ext, mesh_mu)
-        verts, faces = _cap_postprocessed(udf, dirs, N)
+        verts, faces = _cap_postprocessed(udf, dirs, N, triangulator)
         mesh_cap = Mesh(verts, faces)
         save_mesh(stem + "_CAP" + ext, mesh_cap)
         print(f"Saved to {stem + '_MU' + ext}, {stem + '_CAP' + ext}")
@@ -74,7 +81,7 @@ def run_mc(params, spec, gt_mode, N, output_path, alpha=None, algorithm="meshudf
     raise ValueError(f"Invalid algorithm {algorithm!r}")
 
 
-def _cap_postprocessed(udf, dirs, N):
+def _cap_postprocessed(udf, dirs, N, triangulator=None):
     """CAP extraction + light cleanup for the CLI artifact.
 
     The reference exports the raw CAP triangle soup (``render_mc.py:254``,
@@ -88,7 +95,11 @@ def _cap_postprocessed(udf, dirs, N):
         remove_small_components,
     )
 
-    verts, faces = extract_mesh_cap(udf, dirs, N)
+    from ..extract.triangulate import DEFAULT_TRIANGULATOR
+
+    verts, faces = extract_mesh_cap(
+        udf, dirs, N, triangulator=triangulator or DEFAULT_TRIANGULATOR
+    )
     verts, faces = clean_mesh(verts, faces, fill_holes=False)
     verts, faces = remove_small_components(verts, faces)
     faces = orient_faces_consistently(faces)
@@ -115,6 +126,7 @@ def main(argv=None):
     run_mc(
         params, spec, cfg["gt_mode"], cfg["nsamples"], cfg["output_path"],
         cfg.get("alpha"), cfg.get("algorithm", "meshudf"),
+        triangulator=cfg.get("triangulator"),
     )
 
 

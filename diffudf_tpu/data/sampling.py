@@ -108,6 +108,32 @@ class TrainingSampler:
             tri_verts=jnp.asarray(tri_verts, jnp.float32),
         )
 
+    def local(self, n_devices: int) -> "TrainingSampler":
+        """Per-device sampler for the shard_map DP step: each device draws
+        its own ``batch/n_devices`` sub-batch (same [surf|far|near] layout),
+        so the single-chip loss code (including the leading-rows Hessian
+        split and the Pallas fused ops) runs unchanged per shard with zero
+        resharding."""
+        sz = self.static.sizes
+        for name, v in (("on_surface", sz.on_surface), ("far", sz.far),
+                        ("near", sz.near)):
+            if v % n_devices:
+                raise ValueError(
+                    f"batch group {name}={v} not divisible by mesh size "
+                    f"{n_devices}; pick batch_size/sampling_percentiles that "
+                    f"split evenly"
+                )
+        local_sizes = BatchSizes(
+            on_surface=sz.on_surface // n_devices,
+            far=sz.far // n_devices,
+            near=sz.near // n_devices,
+        )
+        return dataclasses.replace(
+            self,
+            static=SamplerStatic(local_sizes, self.static.oracle,
+                                 self.static.stddev),
+        )
+
     def sample(self, key: jax.Array):
         """-> (points (B,3), normals (B,3), sdf (B,1)), B = sizes.total."""
         sz = self.static.sizes

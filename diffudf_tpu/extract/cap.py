@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .tet_mc import marching_tets_cells
+from .triangulate import DEFAULT_TRIANGULATOR, triangulate_cells
 
 CAP_THRESHOLD = 0.008  # reference ``render_mc.py:205``
 
@@ -70,7 +70,8 @@ def _corner_views_dirs(dirs: np.ndarray):
     ]
 
 
-def extract_mesh_cap(udf, dirs, N: int, threshold: float = CAP_THRESHOLD):
+def extract_mesh_cap(udf, dirs, N: int, threshold: float = CAP_THRESHOLD,
+                     triangulator: str = DEFAULT_TRIANGULATOR):
     """-> (verts (V, 3) in [-1, 1]³, faces (F, 3)).
 
     udf: (N, N, N) pseudo distance field; dirs: (N, N, N, 3) direction field
@@ -78,8 +79,6 @@ def extract_mesh_cap(udf, dirs, N: int, threshold: float = CAP_THRESHOLD):
     """
     origins, vals = signed_cell_values(np.asarray(udf), np.asarray(dirs), threshold)
     spacing = 2.0 / (N - 1)
-    verts, faces = marching_tets_cells(
-        origins.astype(np.float64), vals.astype(np.float64), spacing=spacing
-    )
+    verts, faces = triangulate_cells(origins, vals, spacing, triangulator)
     verts = verts - 1.0  # lattice origin at [-1,-1,-1]
     return verts, faces

@@ -16,8 +16,10 @@ the TPU-framework way:
      is what the native C++ module implements (``native/udf_mc``); a scipy
      minimum-spanning-tree fallback gives identical semantics without the
      native build;
-  3. triangulation of the sign·udf field is the same vectorised marching
-     tetrahedra used by every other path (:mod:`.tet_mc`).
+  3. triangulation of the sign·udf field goes through the shared backend
+     dispatch (:mod:`.triangulate`): table-driven MC with asymptotic-decider
+     ambiguity resolution by default (the MC33 counterpart), marching
+     tetrahedra as the alternative.
 
 Gate thresholds mirror the reference wrapper defaults
 (``_marching_cubes_lewiner.py:80``, ``render_mc.py:130-134``):
@@ -32,7 +34,7 @@ import numpy as np
 
 from .cap import _corner_views
 from .postprocess import clean_mesh, smooth_borders
-from .tet_mc import marching_tets_cells
+from .triangulate import DEFAULT_TRIANGULATOR, triangulate_cells
 
 # Cell gates, in voxels (reference values, ``_marching_cubes_lewiner.py:80``):
 # avg(corner udf) < AVG_THRESH and max ≤ MAX_THRESH.  On top of these,
@@ -343,9 +345,20 @@ def extract_mesh_meshudf(
     avg_thresh: float = AVG_THRESH,
     max_thresh: float = MAX_THRESH,
     max_face_dist_voxels: float | None = None,
+    triangulator: str = DEFAULT_TRIANGULATOR,
+    signing: str = "bfs",
 ):
     """-> (verts (V,3) in [-1,1]³, faces (F,3)), cleaned like the reference
     (``render_mc.py:103-199``: cleanup loop + optional border smoothing).
+
+    ``signing``:
+      * ``"bfs"`` (default) — the reference's region-growing vote semantics
+        in native C++ (``native.udf_mc.vote_bfs``): deferred low-confidence
+        cubes, anchor fallback, and mesh-support gating of non-trivial
+        cells, which suppresses the parity-conflict seams around open-sheet
+        borders (``_marching_cubes_lewiner_cy.pyx:1584-1750``);
+      * ``"mst"`` — maximum-confidence spanning-tree propagation + majority
+        relaxation with confidence cell gating (no native code needed).
 
     ``max_face_dist_voxels``: drop triangles whose centroid UDF exceeds this
     many voxels.  Low-confidence votes far from the surface can fabricate
@@ -358,25 +371,57 @@ def extract_mesh_meshudf(
     N = udf.shape[0]
     voxel = 2.0 / (N - 1)
 
-    signs, conf, participate = compute_signs(udf, dirs, voxel,
-                                             return_confidence=True)
-    signed = udf * signs
+    if signing == "bfs":
+        from ..native import udf_mc as native
 
-    gates = gate_cells(udf, voxel, avg_thresh, max_thresh)
-    if conf is not None:
-        # drop cells whose least-confident corner is far below the typical
-        # vote confidence: exact fields are uniformly confident (no cells
-        # lost), learned fields lose exactly the unreliable fringe
-        ref_conf = np.median(conf[participate & (conf > 0)]) if participate.any() else 0.0
-        if ref_conf > 0:
-            cc = _corner_views(conf)
-            cmin = np.minimum.reduce(cc)
-            gates = gates & (cmin > CONF_GATE_FRACTION * ref_conf)
-    uc = _corner_views(signed)
-    vals8 = None
-    idx = np.argwhere(gates)
+        signs, emit = native.vote_bfs(
+            udf, dirs, voxel, avg_thresh=avg_thresh, max_thresh=max_thresh
+        )
+        # gather signed corner values only at emitted cells (avoids a full
+        # N³ multiply + 8 strided-view gathers)
+        idx = np.argwhere(emit.astype(bool))
+        if len(idx) == 0:
+            raise ValueError("Could not find surface in volume")
+        flat_u = udf.reshape(-1)
+        flat_s = signs.reshape(-1)
+        s0, s1 = N * N, N
+        base = idx[:, 0] * s0 + idx[:, 1] * s1 + idx[:, 2]
+        offs = np.array([dx * s0 + dy * s1 + dz
+                         for (dx, dy, dz) in [(0, 0, 0), (1, 0, 0), (0, 1, 0),
+                                              (1, 1, 0), (0, 0, 1), (1, 0, 1),
+                                              (0, 1, 1), (1, 1, 1)]])
+        corner_lin = base[:, None] + offs[None, :]
+        vals8 = flat_u[corner_lin] * flat_s[corner_lin]
+        crossing = (vals8.min(axis=1) < 0) & (vals8.max(axis=1) >= 0)
+        idx, vals8 = idx[crossing], vals8[crossing]
+        if len(idx) == 0:
+            raise ValueError("Could not find surface in volume")
+        verts, faces = triangulate_cells(idx, vals8, voxel, triangulator)
+        verts -= 1.0
+        return _postprocess(verts, faces, udf, voxel, smooth_borders_enabled,
+                            max_face_dist_voxels)
+    elif signing == "mst":
+        signs, conf, participate = compute_signs(udf, dirs, voxel,
+                                                 return_confidence=True)
+        signed = udf * signs
+
+        gates = gate_cells(udf, voxel, avg_thresh, max_thresh)
+        if conf is not None:
+            # drop cells whose least-confident corner is far below the
+            # typical vote confidence: exact fields are uniformly confident
+            # (no cells lost), learned fields lose the unreliable fringe
+            ref_conf = np.median(conf[participate & (conf > 0)]) if participate.any() else 0.0
+            if ref_conf > 0:
+                cc = _corner_views(conf)
+                cmin = np.minimum.reduce(cc)
+                gates = gates & (cmin > CONF_GATE_FRACTION * ref_conf)
+        idx = np.argwhere(gates)
+    else:
+        raise ValueError(f"Invalid signing {signing!r}; expected 'bfs' or 'mst'")
+
     if len(idx) == 0:
         raise ValueError("Could not find surface in volume")
+    uc = _corner_views(signed)
     ii, jj, kk = idx[:, 0], idx[:, 1], idx[:, 2]
     vals8 = np.stack([c[ii, jj, kk] for c in uc], axis=1)
     crossing = (vals8.min(axis=1) < 0) & (vals8.max(axis=1) >= 0)
@@ -384,10 +429,16 @@ def extract_mesh_meshudf(
     if len(idx) == 0:
         raise ValueError("Could not find surface in volume")
 
-    verts, faces = marching_tets_cells(
-        idx.astype(np.float64), vals8.astype(np.float64), spacing=voxel
-    )
+    verts, faces = triangulate_cells(idx, vals8, voxel, triangulator)
     verts -= 1.0
+    return _postprocess(verts, faces, udf, voxel, smooth_borders_enabled,
+                        max_face_dist_voxels)
+
+
+def _postprocess(verts, faces, udf, voxel, smooth_borders_enabled,
+                 max_face_dist_voxels):
+    """Reference cleanup chain (``render_mc.py:148-197``): dedupe/degenerate
+    cleanup, speck removal, consistent winding, optional border smoothing."""
     if max_face_dist_voxels is not None and len(faces):
         centroids = verts[faces].mean(axis=1)
         d = _trilinear(udf, centroids, voxel)

@@ -110,7 +110,8 @@ def remove_small_components(verts, faces, min_faces: int = 30):
     Voted-sign extraction can fabricate isolated specks where vote
     confidence is low; they wreck the normal-consistency metric (random
     normals) and bloat downstream processing.  Components are computed on
-    the vertex graph.
+    the vertex graph.  The largest component always survives, so a valid
+    (if tiny) surface is never reduced to an empty mesh.
     """
     faces = np.asarray(faces, dtype=np.int64)
     if len(faces) == 0:
@@ -124,7 +125,7 @@ def remove_small_components(verts, faces, min_faces: int = 30):
     _, labels = connected_components(g, directed=False)
     face_label = labels[faces[:, 0]]
     counts = np.bincount(face_label)
-    keep = counts[face_label] >= min_faces
+    keep = (counts[face_label] >= min_faces) | (face_label == counts.argmax())
     return _drop_unreferenced(np.asarray(verts), faces[keep])
 
 

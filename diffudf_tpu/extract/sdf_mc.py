@@ -1,8 +1,8 @@
 """Signed-field marching cubes baseline (gt_mode='siren' path).
 
 Replaces the reference's skimage ``marching_cubes`` at level 0
-(``src/render_mc.py:314-406``) with the same vectorised marching-tetrahedra
-backend used everywhere else: active cells = sign changes in the raw field.
+(``src/render_mc.py:314-406``) with the shared vectorised triangulation
+backends: active cells = sign changes in the raw field.
 """
 
 from __future__ import annotations
@@ -10,10 +10,11 @@ from __future__ import annotations
 import numpy as np
 
 from .cap import _corner_views
-from .tet_mc import marching_tets_cells
+from .triangulate import DEFAULT_TRIANGULATOR, triangulate_cells
 
 
-def extract_mesh_signed(sdf, level: float = 0.0, origin: float = -1.0, extent: float = 2.0):
+def extract_mesh_signed(sdf, level: float = 0.0, origin: float = -1.0, extent: float = 2.0,
+                        triangulator: str = DEFAULT_TRIANGULATOR):
     """-> (verts, faces) of the ``sdf == level`` surface.
 
     sdf: (N, N, N) signed field on the standard lattice.
@@ -30,7 +31,5 @@ def extract_mesh_signed(sdf, level: float = 0.0, origin: float = -1.0, extent: f
     ii, jj, kk = idx[:, 0], idx[:, 1], idx[:, 2]
     vals = np.stack([c[ii, jj, kk] for c in uc], axis=1)
     spacing = extent / (N - 1)
-    verts, faces = marching_tets_cells(
-        idx.astype(np.float64), vals.astype(np.float64), spacing=spacing
-    )
+    verts, faces = triangulate_cells(idx, vals, spacing, triangulator)
     return verts + origin, faces

@@ -1,7 +1,8 @@
 """Vectorised marching tetrahedra over a compact set of grid cells.
 
-Triangulation backend for all three extraction paths (CAP, voted-UDF, signed
-baseline).  Design rationale (vs. the reference):
+Alternative triangulation backend (``triangulator="tets"``); the default is
+the table-driven MC in :mod:`.table_mc`.  Design rationale (vs. the
+reference):
 
   * The reference triangulates with table-driven marching cubes — PyMCubes
     per 2×2×2 cell inside a Python triple loop for CAP
@@ -12,8 +13,10 @@ baseline).  Design rationale (vs. the reference):
     33-case topological tables or face/interior ambiguity tests are needed,
     and the whole thing is a fixed-shape gather — ideal for numpy/JAX
     vectorisation.  Vertices still land on linearly-interpolated zero
-    crossings, so metric quality (Chamfer/NC) matches table MC; triangle
-    count is ~2× (documented deviation).
+    crossings, so Chamfer quality matches table MC, but the tetrahedral
+    split produces ~2-3× the triangle count with noisier triangle normals
+    (measurably worse normal consistency) — which is why ``table_mc`` is
+    the default backend.
 
 Input is the *compact* active-cell set (host side picks cells with sign
 changes), so memory stays O(surface), not O(N³).

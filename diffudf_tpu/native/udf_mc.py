@@ -32,14 +32,24 @@ def _load():
         _build()
     lib = ctypes.CDLL(_LIB)
     fp = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i8p = ctypes.POINTER(ctypes.c_int8)
     lib.sign_voting.argtypes = [
         fp,
-        ctypes.POINTER(ctypes.c_uint8),
+        u8p,
         fp, fp, fp,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_int8),
+        i8p,
     ]
     lib.sign_voting.restype = None
+    lib.vote_bfs.argtypes = [
+        fp, fp,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_int32,
+        u8p, i8p, u8p,
+    ]
+    lib.vote_bfs.restype = None
     return lib
 
 
@@ -74,3 +84,39 @@ def sign_voting(udf: np.ndarray, participate: np.ndarray,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
     )
     return out
+
+
+def vote_bfs(udf: np.ndarray, dirs: np.ndarray, voxel: float,
+             avg_thresh: float = 1.05, max_thresh: float = 1.75,
+             unsure_thresh: float = 0.707, support_min: int = 2):
+    """Reference-semantics voted-sign BFS with deferred queues.
+
+    udf: (N0, N1, N2) non-negative pseudo distances; dirs: (N0, N1, N2, 3)
+    direction field pointing toward the surface.  Thresholds are in voxels
+    (reference defaults, ``_marching_cubes_lewiner.py:80``).
+
+    -> (signs int8 (N0, N1, N2) with 0 where never reached,
+        emit uint8 (N0-1, N1-1, N2-1) cells that should produce faces).
+    """
+    from ..extract.mc_tables import TRIVIAL_CASE
+
+    udf = np.ascontiguousarray(udf, np.float32)
+    dirs = np.ascontiguousarray(dirs, np.float32)
+    n0, n1, n2 = udf.shape
+    assert dirs.shape == (n0, n1, n2, 3)
+    trivial = np.ascontiguousarray(TRIVIAL_CASE, np.uint8)
+    signs = np.empty((n0, n1, n2), np.int8)
+    emit = np.empty((n0 - 1, n1 - 1, n2 - 1), np.uint8)
+    fp = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    _lib.vote_bfs(
+        udf.ctypes.data_as(fp), dirs.ctypes.data_as(fp),
+        n0, n1, n2,
+        ctypes.c_float(voxel), ctypes.c_float(avg_thresh),
+        ctypes.c_float(max_thresh), ctypes.c_float(unsure_thresh),
+        support_min,
+        trivial.ctypes.data_as(u8p),
+        signs.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        emit.ctypes.data_as(u8p),
+    )
+    return signs, emit

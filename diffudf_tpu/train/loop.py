@@ -36,7 +36,7 @@ import optax
 from ..config import TrainConfig
 from ..data.sampling import TrainingSampler
 from ..fields.siren import SirenSpec, init_siren
-from ..parallel.mesh import data_mesh, shard_batch
+from ..parallel.mesh import data_mesh
 from .losses import loss_s1, loss_s2, loss_siren
 from .schedule import lr_for_epoch, lr_for_epoch_siren
 
@@ -75,10 +75,11 @@ class Trainer:
         self._chunk_fns = {}
         self._vgh_op = None
         self._vg_op = None
+        # Pallas fused ops run per shard under shard_map, so any mesh size
+        # keeps the single-chip fast path (round-1 lost it under a mesh).
         if (
             cfg.use_pallas
             and jax.default_backend() == "tpu"
-            and self.mesh.size == 1
             and spec.activation == "sine"
             and len(set(spec.hidden)) == 1
         ):
@@ -107,26 +108,22 @@ class Trainer:
 
     # --- stage plumbing ------------------------------------------------------
 
-    def _loss_terms(self, stage, params, points, normals, sdf):
+    def _loss_terms(self, stage, params, points, normals, sdf,
+                    n_surface=None, axis_name=None):
+        """Loss terms on one (local) batch.  ``n_surface`` = static count of
+        leading on-surface rows enabling the split Hessian path; under the
+        shard_map DP step it is the per-shard count and ``axis_name`` names
+        the mesh axis for the s2 sufficient statistics."""
         cfg = self.cfg
         dd = jnp.dtype(cfg.deriv_dtype) if cfg.deriv_dtype else None
         if stage == "s1":
-            # Under data-parallel sharding, slicing the leading n_surface
-            # rows would reshard across devices; the masked full-batch
-            # Hessian path shards evenly instead (costs the off-surface
-            # Hessians back, but scales cleanly).  Single-chip uses the
-            # split + fused Pallas ops.
-            n_surface = (
-                self.sampler.static.sizes.on_surface
-                if self.mesh.size == 1 else None
-            )
             return loss_s1(params, self.spec, points, normals, sdf,
                            cfg.loss_s1_weights, cfg.alpha, deriv_dtype=dd,
                            n_surface=n_surface,
                            vgh_fn=self._vgh_op, vg_fn=self._vg_op)
         if stage == "s2":
             return loss_s2(params, self.spec, points, normals, sdf,
-                           cfg.loss_s2_weights, cfg.alpha)
+                           cfg.loss_s2_weights, cfg.alpha, axis_name=axis_name)
         if stage == "siren":
             return loss_siren(params, self.spec, points, normals, sdf,
                               cfg.loss_weights, deriv_dtype=dd)
@@ -163,19 +160,37 @@ class Trainer:
         mesh = self.mesh
         batches = self.cfg.batches_per_epoch
 
-        def batch_step(params_opt, key):
-            params, opt_state = params_opt
-            pts, nrm, sdf = self.sampler.sample(key)
-            pts = shard_batch(pts, mesh)
-            nrm = shard_batch(nrm, mesh)
-            sdf = shard_batch(sdf, mesh)
+        batch_step = None
+        if mesh.size > 1:
+            # Data-parallel step as SPMD shard_map: every device samples its
+            # own [surf|far|near] sub-batch (zero resharding, balanced
+            # semantics) and runs the unmodified single-chip loss — split
+            # Hessian rows, Pallas fused ops and all; per-term means are
+            # pmean'd so the value matches the single-device step on the
+            # union batch.  XLA turns the grad of pmean into the ICI psum.
+            try:
+                batch_step = self._build_sharded_batch_step(stage)
+            except ValueError:
+                # batch groups don't divide the mesh: fall back to the
+                # masked full-batch loss under a sharding constraint
+                # (correct, but loses the split-Hessian fast path)
+                batch_step = self._build_constrained_batch_step(stage)
+        if batch_step is None:
+            def batch_step(params_opt, key):
+                params, opt_state = params_opt
+                pts, nrm, sdf = self.sampler.sample(key)
 
-            def total_loss(p):
-                terms = self._loss_terms(stage, p, pts, nrm, sdf)
-                return sum(terms.values()), terms
+                def total_loss(p):
+                    terms = self._loss_terms(
+                        stage, p, pts, nrm, sdf,
+                        n_surface=self.sampler.static.sizes.on_surface,
+                    )
+                    return sum(terms.values()), terms
 
-            (tot, terms), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
-            return (params, opt_state, grads), (tot, terms)
+                (tot, terms), grads = jax.value_and_grad(
+                    total_loss, has_aux=True
+                )(params)
+                return (params, opt_state, grads), (tot, terms)
 
         def epoch_step(carry, epoch_idx):
             state = carry
@@ -215,6 +230,74 @@ class Trainer:
             return jax.lax.scan(epoch_step, state, epoch_indices)
 
         return jax.jit(chunk, donate_argnums=(0,))
+
+    def _build_constrained_batch_step(self, stage: str):
+        """Legacy DP step: one global sample under a batch-axis sharding
+        constraint, masked full-batch Hessian (no leading-rows split — a
+        strided slice would reshard across devices)."""
+        from ..parallel.mesh import shard_batch
+
+        mesh = self.mesh
+
+        def batch_step(params_opt, key):
+            params, opt_state = params_opt
+            pts, nrm, sdf = self.sampler.sample(key)
+            pts = shard_batch(pts, mesh)
+            nrm = shard_batch(nrm, mesh)
+            sdf = shard_batch(sdf, mesh)
+
+            def total_loss(p):
+                terms = self._loss_terms(stage, p, pts, nrm, sdf)
+                return sum(terms.values()), terms
+
+            (tot, terms), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
+            return (params, opt_state, grads), (tot, terms)
+
+        return batch_step
+
+    def _build_sharded_batch_step(self, stage: str):
+        from ..parallel.mesh import DATA_AXIS
+
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        mesh = self.mesh
+        local_sampler = self.sampler.local(mesh.size)
+        n_surface_local = local_sampler.static.sizes.on_surface
+
+        def local_terms(params, keys):
+            pts, nrm, sdf = local_sampler.sample(keys[0])
+            terms = self._loss_terms(stage, params, pts, nrm, sdf,
+                                     n_surface=n_surface_local,
+                                     axis_name=DATA_AXIS)
+            # every s1/siren term is a local-batch mean over equal-size
+            # shards; s2 already psums its statistics internally
+            if stage != "s2":
+                terms = {k: jax.lax.pmean(v, DATA_AXIS) for k, v in terms.items()}
+            return terms
+
+        sharded_terms = shard_map(
+            local_terms, mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS)), out_specs=P(),
+        )
+
+        def batch_step(params_opt, key):
+            params, opt_state = params_opt
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+                jnp.arange(mesh.size)
+            )
+
+            def total_loss(p):
+                terms = sharded_terms(p, keys)
+                return sum(terms.values()), terms
+
+            (tot, terms), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
+            return (params, opt_state, grads), (tot, terms)
+
+        return batch_step
 
     def _term_names(self, stage):
         if stage == "s1":

@@ -17,6 +17,7 @@ Term-for-term mapping (reference lines):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..autodiff.ops import value, value_grad, value_grad_hessian_packed
@@ -121,16 +122,29 @@ def loss_s1(params, spec, points, gt_normals, gt_sdf, weights, alpha,
     return terms
 
 
-def loss_s2(params, spec, points, gt_normals, gt_sdf, weights, alpha):
-    """Stage-2 polish: |mean| and std of the on-surface field values."""
+def loss_s2(params, spec, points, gt_normals, gt_sdf, weights, alpha,
+            axis_name=None):
+    """Stage-2 polish: |mean| and std of the on-surface field values.
+
+    ``axis_name``: when running per-shard under ``shard_map``, the mean and
+    variance must be computed over the *global* on-surface set (a local
+    variance around a local mean is not pmean-able) — psum the sufficient
+    statistics across the named axis instead."""
     w0, w1 = (float(w) for w in weights[:2])
     udf = gt_sdf[:, 0]
     on_surf = udf == 0
     f = value(params, spec, points)
 
-    n_on = jnp.maximum(jnp.sum(on_surf), 1)
-    mean_on = jnp.sum(jnp.where(on_surf, f, 0.0)) / n_on
-    var_on = jnp.sum(jnp.where(on_surf, (f - mean_on) ** 2, 0.0)) / jnp.maximum(n_on - 1, 1)
+    n_on = jnp.sum(on_surf)
+    sum_on = jnp.sum(jnp.where(on_surf, f, 0.0))
+    if axis_name is not None:
+        n_on = jax.lax.psum(n_on, axis_name)
+        sum_on = jax.lax.psum(sum_on, axis_name)
+    mean_on = sum_on / jnp.maximum(n_on, 1)
+    sse = jnp.sum(jnp.where(on_surf, (f - mean_on) ** 2, 0.0))
+    if axis_name is not None:
+        sse = jax.lax.psum(sse, axis_name)
+    var_on = sse / jnp.maximum(n_on - 1, 1)
 
     return {
         "sdf_on_surf": jnp.abs(mean_on) * w0,

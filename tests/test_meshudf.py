@@ -103,3 +103,78 @@ class TestMeshUDFExtraction:
         dirs = np.zeros((N, N, N, 3), np.float32)
         with pytest.raises(ValueError):
             extract_mesh_meshudf(udf, dirs)
+
+
+def patch_udf(N, half=0.5):
+    """UDF of an open square patch z=0, |x|,|y| <= half — the open-sheet
+    border case whose parity conflicts the BFS signing must suppress."""
+    axis = np.linspace(-1, 1, N)
+    x, y, z = np.meshgrid(axis, axis, axis, indexing="ij")
+    ex = np.maximum(np.abs(x) - half, 0.0)
+    ey = np.maximum(np.abs(y) - half, 0.0)
+    udf = np.sqrt(ex**2 + ey**2 + z**2).astype(np.float32)
+    # dirs = -grad(udf): closest point on the patch
+    gx = np.sign(x) * ex
+    gy = np.sign(y) * ey
+    g = np.stack([gx, gy, z], axis=-1)
+    g /= np.maximum(np.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
+    return udf, (-g).astype(np.float32)
+
+
+class TestVoteBFS:
+    """Reference-semantics native BFS signing (native.udf_mc.vote_bfs)."""
+
+    def test_sphere_sign_agreement(self):
+        N = 48
+        udf, dirs = sphere_udf(N)
+        from diffudf_tpu.native import udf_mc as native
+
+        axis = np.linspace(-1, 1, N)
+        x, y, z = np.meshgrid(axis, axis, axis, indexing="ij")
+        rn = np.sqrt(x * x + y * y + z * z)
+        true_sign = np.where(rn < 0.6, -1, 1)
+        signs, emit = native.vote_bfs(udf, dirs, 2.0 / (N - 1))
+        assert emit.sum() > 500
+        m = signs != 0
+        agree = (signs[m] == true_sign[m]).mean()
+        assert max(agree, 1 - agree) > 0.999
+
+    def test_sphere_extraction_quality(self):
+        N = 48
+        udf, dirs = sphere_udf(N)
+        verts, faces = extract_mesh_meshudf(udf, dirs, signing="bfs")
+        rad = np.linalg.norm(verts, axis=1)
+        assert np.abs(rad - 0.6).max() < 0.1 * (2.0 / (N - 1))
+        # closed surface: essentially no boundary edges
+        assert len(boundary_edges(faces)) < 10
+
+    def test_open_patch_no_spurious_sheets(self):
+        N = 48
+        udf, dirs = patch_udf(N)
+        verts, faces = extract_mesh_meshudf(udf, dirs, signing="bfs",
+                                            smooth_borders_enabled=False)
+        # area should be about the patch area (1.0), not doubled/shredded
+        tri = verts[faces]
+        area = 0.5 * np.linalg.norm(
+            np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=1
+        ).sum()
+        assert 0.8 < area < 1.4
+        # interior faces flat on z=0 with clean normals (the border keeps a
+        # half-voxel skirt — the artifact the reference's border smoothing
+        # targets, render_mc.py:169-197)
+        n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+        interior = (np.abs(tri.mean(1)[:, :2]) < 0.4).all(axis=1)
+        assert interior.sum() > 100
+        assert np.mean(1 - np.abs(n[interior, 2])) < 1e-3
+        assert np.abs(verts[:, 2]).max() < 0.6 * (2.0 / (N - 1))
+
+    def test_invalid_signing(self):
+        udf, dirs = sphere_udf(24)
+        with pytest.raises(ValueError, match="Invalid signing"):
+            extract_mesh_meshudf(udf, dirs, signing="bogus")
+
+    def test_mst_path_still_works(self):
+        udf, dirs = sphere_udf(32)
+        verts, faces = extract_mesh_meshudf(udf, dirs, signing="mst")
+        assert len(faces) > 100

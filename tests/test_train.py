@@ -234,3 +234,78 @@ class TestTrainer:
         np.testing.assert_array_equal(
             np.asarray(params[0]["w"]), np.asarray(state.params[0]["w"])
         )
+
+
+class TestShardedDPStep:
+    """Round-2 DP fast path: shard_map step with per-shard sampling keeps the
+    single-chip loss code (split Hessian rows) and matches the single-device
+    loss value on the union batch."""
+
+    def _setup(self):
+        import jax.numpy as jnp
+        from diffudf_tpu.config import TrainConfig
+        from diffudf_tpu.data.sampling import TrainingSampler
+        from diffudf_tpu.fields.siren import SirenSpec
+        from diffudf_tpu.parallel.mesh import data_mesh
+        from diffudf_tpu.train.loop import Trainer
+
+        rng = np.random.default_rng(0)
+        pts = rng.normal(size=(2048, 3)).astype(np.float32)
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        cfg = TrainConfig(
+            num_epochs=6, s1_epochs=4, warmup_epochs=0,
+            batch_size=8 * 48, sampling_percentiles=(1 / 3, 2 / 3),
+            alpha=10.0, lr_s1=1e-5, lr_s2=1e-7,
+        )
+        spec = SirenSpec(hidden=(32, 32))
+        sampler = TrainingSampler.from_point_cloud(
+            pts, pts, cfg.batch_size, cfg.sampling_percentiles
+        )
+        trainer = Trainer(spec, sampler, cfg, mesh=data_mesh(8))
+        return trainer, sampler, spec, cfg
+
+    def test_trains_both_stages(self):
+        import jax.numpy as jnp
+
+        trainer, *_ = self._setup()
+        state = trainer.init_state()
+        state, logs = trainer.chunk_fn("s1")(state, jnp.arange(4, dtype=jnp.int32))
+        assert np.isfinite(np.asarray(logs["total"])).all()
+        state, logs = trainer.chunk_fn("s2")(state, jnp.arange(4, 6, dtype=jnp.int32))
+        assert np.isfinite(np.asarray(logs["total"])).all()
+
+    def test_loss_matches_single_device_on_union_batch(self):
+        import jax
+        import jax.numpy as jnp
+        from diffudf_tpu.train.losses import loss_s1, loss_s2
+
+        trainer, sampler, spec, cfg = self._setup()
+        state = trainer.init_state()
+        params = state.params
+        key = jax.random.PRNGKey(42)
+        local = sampler.local(8)
+        batches = [local.sample(jax.random.fold_in(key, i)) for i in range(8)]
+        pts = jnp.concatenate([b[0] for b in batches])
+        nrm = jnp.concatenate([b[1] for b in batches])
+        sdf = jnp.concatenate([b[2] for b in batches])
+
+        step = trainer._build_sharded_batch_step("s1")
+        (_, _, grads), (tot, terms) = step((params, state.opt_state), key)
+        ref = loss_s1(params, spec, pts, nrm, sdf, cfg.loss_s1_weights, cfg.alpha)
+        for k in terms:
+            a, b = float(ref[k]), float(terms[k])
+            assert abs(a - b) < 1e-3 * max(1.0, abs(a)), (k, a, b)
+
+        step2 = trainer._build_sharded_batch_step("s2")
+        _, (_, terms2) = step2((params, state.opt_state), key)
+        ref2 = loss_s2(params, spec, pts, nrm, sdf, cfg.loss_s2_weights, cfg.alpha)
+        for k in terms2:
+            a, b = float(ref2[k]), float(terms2[k])
+            assert abs(a - b) < 1e-3 * max(1.0, abs(a)), (k, a, b)
+
+    def test_local_sampler_divisibility_error(self):
+        import pytest as _pytest
+
+        trainer, sampler, *_ = self._setup()
+        with _pytest.raises(ValueError, match="not divisible"):
+            sampler.local(7)
