@@ -22,7 +22,7 @@ from ..extract.cap import extract_mesh_cap
 from ..extract.meshudf import extract_mesh_meshudf
 from ..extract.sdf_mc import extract_mesh_signed
 from ..fields.siren import SirenSpec
-from ..grid.lattice import extract_fields, extract_sdf_grid
+from ..grid.lattice import extract_fields_sparse, extract_sdf_grid
 from ..train import checkpoint as ckpt
 
 
@@ -30,10 +30,21 @@ VALID_ALGORITHMS = ("meshudf", "cap", "both", "siren")
 
 
 def run_mc(params, spec, gt_mode, N, output_path, alpha=None, algorithm="meshudf",
-           mesh=None, triangulator=None):
+           mesh=None, triangulator=None, sparse=True, refine_steps=0,
+           taubin_iters=0):
     """Extract and save mesh(es); returns Mesh or (meshMU, meshCAP).
 
     triangulator: "mc33" (default) or "tets" — see extract.triangulate.
+    sparse: hierarchical band-limited grid evaluation (default; exact for
+    every gated cell — see ``grid.lattice.extract_fields_sparse``).  Set
+    False to force the dense N³ fused pass.
+    refine_steps / taubin_iters: optional vertex enhancement the reference
+    does not perform — project vertices onto the field's zero set
+    (``extract.refine``), then shrink-free Taubin smoothing
+    (``extract.postprocess.taubin_smooth``).  ``refine_steps=2,
+    taubin_iters=10`` is the measured sweet spot on the beetle recipe
+    (Chamfer-L1 9.77→8.50e-3, NC 0.060→0.048 — both beating the raw MC
+    mesh); 0/0 (default) = reference-parity vertices.
     """
     from ..extract.triangulate import DEFAULT_TRIANGULATOR
 
@@ -44,6 +55,21 @@ def run_mc(params, spec, gt_mode, N, output_path, alpha=None, algorithm="meshudf
             f"Invalid algorithm {algorithm!r}; expected one of {VALID_ALGORITHMS}"
         )
     ckpt.check_params_match_spec(params, spec)
+
+    def _refine(verts, faces):
+        if gt_mode != "siren" and refine_steps:
+            from ..extract.refine import refine_vertices
+
+            verts = refine_vertices(
+                params, spec, verts, gt_mode=gt_mode, alpha=alpha, N=N,
+                steps=refine_steps,
+            )
+        if taubin_iters:
+            from ..extract.postprocess import taubin_smooth
+
+            verts = taubin_smooth(verts, faces, iterations=taubin_iters)
+        return verts
+
     if algorithm == "siren":
         sdf = np.asarray(extract_sdf_grid(params, spec, N, mesh=mesh))
         verts, faces = extract_mesh_signed(sdf, triangulator=triangulator)
@@ -52,29 +78,30 @@ def run_mc(params, spec, gt_mode, N, output_path, alpha=None, algorithm="meshudf
         print(f"Saved to {output_path}")
         return m
 
-    udf, dirs = extract_fields(params, spec, N, gt_mode, alpha, mesh=mesh)
-    udf = np.asarray(udf)
-    dirs = np.asarray(dirs)
+    udf, dirs = extract_fields_sparse(
+        params, spec, N, gt_mode, alpha, mesh=mesh,
+        coarse_stride=None if sparse else 1,
+    )
 
     if algorithm == "cap":
         verts, faces = _cap_postprocessed(udf, dirs, N, triangulator)
-        m = Mesh(verts, faces)
+        m = Mesh(_refine(verts, faces), faces)
         save_mesh(output_path, m)
         print(f"Saved to {output_path}")
         return m
     if algorithm == "meshudf":
         verts, faces = extract_mesh_meshudf(udf, dirs, triangulator=triangulator)
-        m = Mesh(verts, faces)
+        m = Mesh(_refine(verts, faces), faces)
         save_mesh(output_path, m)
         print(f"Saved to {output_path}")
         return m
     if algorithm == "both":
         stem, ext = os.path.splitext(output_path)
         verts, faces = extract_mesh_meshudf(udf, dirs, triangulator=triangulator)
-        mesh_mu = Mesh(verts, faces)
+        mesh_mu = Mesh(_refine(verts, faces), faces)
         save_mesh(stem + "_MU" + ext, mesh_mu)
         verts, faces = _cap_postprocessed(udf, dirs, N, triangulator)
-        mesh_cap = Mesh(verts, faces)
+        mesh_cap = Mesh(_refine(verts, faces), faces)
         save_mesh(stem + "_CAP" + ext, mesh_cap)
         print(f"Saved to {stem + '_MU' + ext}, {stem + '_CAP' + ext}")
         return mesh_mu, mesh_cap
@@ -127,6 +154,9 @@ def main(argv=None):
         params, spec, cfg["gt_mode"], cfg["nsamples"], cfg["output_path"],
         cfg.get("alpha"), cfg.get("algorithm", "meshudf"),
         triangulator=cfg.get("triangulator"),
+        sparse=cfg.get("sparse_grid", True),
+        refine_steps=cfg.get("refine_vertices", 0),
+        taubin_iters=cfg.get("taubin_iters", 0),
     )
 
 

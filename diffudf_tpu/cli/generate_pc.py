@@ -26,6 +26,12 @@ def generate_pc(config: dict) -> PointCloudData:
         w0=config.get("w0", 30),
         activation=config.get("activation", "sine"),
     )
+    # "shard_points": true → candidate projection sharded over all devices
+    mesh = None
+    if config.get("shard_points"):
+        from ..parallel.mesh import data_mesh
+
+        mesh = data_mesh()
     points, normals = generate_point_cloud(
         params, spec,
         gt_mode=config["gt_mode"], alpha=config.get("alpha", 1.0),
@@ -33,6 +39,7 @@ def generate_pc(config: dict) -> PointCloudData:
         num_points=config.get("nsamples", 20000),
         surf_thresh=config.get("surf_thresh", 0.01),
         max_iter=config.get("max_iter", 1000),
+        mesh=mesh,
     )
     normals = orient_normals_consistent(points, normals, k=10)
     return PointCloudData(points, normals)

@@ -35,25 +35,46 @@ def _pad(arr, mult):
 
 
 def create_projectional_image(
-    params, spec: SirenSpec, rays, t0, mask, network_config, rendering_config
+    params, spec: SirenSpec, rays, t0, mask, network_config, rendering_config,
+    mesh=None,
 ):
     """One full render pass -> (H·W, 3) colors. On-device march + geometry,
-    host shading (``render_st.py:67-133`` pipeline)."""
+    host shading (``render_st.py:67-133`` pipeline).
+
+    With ``mesh`` (>1 device) the march shards the ray axis across the
+    device mesh (each chip runs the masked while-loop on its shard); on a
+    single device the compacted tracer is faster.
+    """
     import jax.numpy as jnp
 
     gt_mode = network_config["gt_mode"]
     alpha = network_config.get("alpha", 1.0)
 
-    from ..render.tracer import trace_rays_compacted
+    if mesh is not None and mesh.size > 1:
+        rays_p, n_real = _pad(np.asarray(rays, np.float32), mesh.size)
+        t0_p, _ = _pad(np.asarray(t0, np.float32), mesh.size)
+        mask_p, _ = _pad(np.asarray(mask), mesh.size)
+        positions, hits, iters = trace_rays(
+            params, spec, jnp.asarray(t0_p), jnp.asarray(rays_p),
+            jnp.asarray(mask_p),
+            gt_mode=gt_mode, alpha=alpha,
+            surface_threshold=rendering_config["surface_threshold"],
+            max_iterations=rendering_config.get("max_iterations", 100),
+            mesh=mesh,
+        )
+        positions = np.asarray(positions)[:n_real]
+        hits = np.asarray(hits)[:n_real]
+    else:
+        from ..render.tracer import trace_rays_compacted
 
-    positions, hits, iters = trace_rays_compacted(
-        params, spec, np.asarray(t0, np.float32), np.asarray(rays, np.float32),
-        np.asarray(mask),
-        gt_mode=gt_mode, alpha=alpha,
-        surface_threshold=rendering_config["surface_threshold"],
-        max_iterations=rendering_config.get("max_iterations", 100),
-        relaxation=rendering_config.get("relaxation", 1.0),
-    )
+        positions, hits, iters = trace_rays_compacted(
+            params, spec, np.asarray(t0, np.float32),
+            np.asarray(rays, np.float32), np.asarray(mask),
+            gt_mode=gt_mode, alpha=alpha,
+            surface_threshold=rendering_config["surface_threshold"],
+            max_iterations=rendering_config.get("max_iterations", 100),
+            relaxation=rendering_config.get("relaxation", 1.0),
+        )
     positions = jnp.asarray(positions)
     hits = jnp.asarray(hits)
     gd_steps = rendering_config.get("gd_steps", 0)
@@ -187,6 +208,13 @@ def generate_st(config: dict):
 
     rng = np.random.default_rng(config.get("seed", 0))
     colors = np.zeros((H * W, 3))
+    # "shard_rays": true → march on a mesh over all devices (multi-chip);
+    # default single-device compacted tracer otherwise
+    mesh = None
+    if rendering.get("shard_rays"):
+        from ..parallel.mesh import data_mesh
+
+        mesh = data_mesh()
     params = spec = None
     if network_config.get("gt_mode") != "gt":
         params = ckpt.load_params(network_config["model_path"])
@@ -211,7 +239,8 @@ def generate_st(config: dict):
             )
         else:
             colors += create_projectional_image(
-                params, spec, rays, t0, valid, network_config, rendering
+                params, spec, rays, t0, valid, network_config, rendering,
+                mesh=mesh,
             )
 
     img = (colors / rendering.get("sample_rate", 1) * 255).astype(np.uint8)

@@ -248,3 +248,35 @@ def smooth_borders(verts, faces, lam: float = 0.3, iters: int = 5):
         avg = mat @ verts / deg
         verts[border_vertices] += lam * (avg - verts[border_vertices])
     return verts
+
+
+def taubin_smooth(verts, faces, iterations: int = 5, lam: float = 0.5,
+                  mu: float = -0.53):
+    """Shrink-free Taubin λ|μ mesh smoothing (Taubin 1995).
+
+    Alternates a positive (λ) and negative (μ) uniform-Laplacian step so
+    low-frequency shape is preserved while high-frequency vertex noise —
+    the dominant term of marching-cubes vertex-normal error — is removed.
+    The reference only smooths *border* vertices (``render_mc.py:169-197``,
+    :func:`smooth_borders`); full-mesh smoothing is an opt-in extra of this
+    framework (``generate_mc`` config key ``taubin_iters``), typically
+    paired with field reprojection (:mod:`.refine`) which restores any
+    residual drift back onto the zero set.
+    """
+    if len(faces) == 0 or iterations <= 0:
+        return verts
+    from scipy.sparse import coo_matrix
+
+    n = len(verts)
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    e = np.concatenate([e, e[:, ::-1]])
+    A = coo_matrix(
+        (np.ones(len(e), np.float32), (e[:, 0], e[:, 1])), shape=(n, n)
+    ).tocsr()
+    A.data[:] = 1.0  # collapse duplicate edge entries to weight 1
+    deg = np.maximum(np.asarray(A.sum(axis=1)).ravel(), 1.0)[:, None]
+    x = np.asarray(verts, np.float64)
+    for _ in range(iterations):
+        x = x + lam * (A @ x / deg - x)
+        x = x + mu * (A @ x / deg - x)
+    return x.astype(verts.dtype if hasattr(verts, "dtype") else np.float32)

@@ -33,7 +33,10 @@ from ..fields.siren import SirenSpec
 from ..fields.transforms import inverse_map
 
 
-@partial(jax.jit, static_argnames=("spec", "gt_mode", "num_steps", "want_hessian_normals"))
+@partial(
+    jax.jit,
+    static_argnames=("spec", "gt_mode", "num_steps", "want_hessian_normals", "mesh"),
+)
 def project_points(
     params,
     spec: SirenSpec,
@@ -43,8 +46,32 @@ def project_points(
     alpha: float,
     num_steps: int,
     want_hessian_normals: bool,
+    mesh=None,
 ):
-    """-> (x_final, last_step_size (N,), normals (N, 3))."""
+    """-> (x_final, last_step_size (N,), normals (N, 3)).
+
+    With ``mesh`` the candidate axis is sharded over ``data`` via
+    ``shard_map`` (params replicated, no collectives — projections are
+    per-point independent); N must divide by ``mesh.size``.
+    """
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        def local(params, x):
+            return project_points(
+                params, spec, x, gt_mode=gt_mode, alpha=alpha,
+                num_steps=num_steps,
+                want_hessian_normals=want_hessian_normals,
+            )
+
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS, None)),
+            out_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS, None)),
+        )(params, x0)
 
     def body(i, x):
         f, g = value_grad(params, spec, x)
@@ -77,10 +104,16 @@ def generate_point_cloud(
     surf_thresh: float = 0.01,
     max_iter: int = 1000,
     seed: int = 0,
+    mesh=None,
 ):
-    """-> (points (≥num_points, 3), normals) unless max_iter exhausts first."""
+    """-> (points (≥num_points, 3), normals) unless max_iter exhausts first.
+
+    With ``mesh`` each round's candidate batch is sharded across the
+    device mesh (rounded up to a multiple of ``mesh.size``)."""
     key = jax.random.PRNGKey(seed)
     hessian_normals = gt_mode != "siren"
+    if mesh is not None and mesh.size > 1:
+        num_points = ((num_points + mesh.size - 1) // mesh.size) * mesh.size
 
     surface_points = np.zeros((0, 3), np.float32)
     normals = np.zeros((0, 3), np.float32)
@@ -103,7 +136,7 @@ def generate_point_cloud(
         x, step, nrm = project_points(
             params, spec, samples,
             gt_mode=gt_mode, alpha=alpha, num_steps=num_steps,
-            want_hessian_normals=hessian_normals,
+            want_hessian_normals=hessian_normals, mesh=mesh,
         )
         x = np.asarray(x)
         step = np.asarray(step)

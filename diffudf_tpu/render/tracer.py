@@ -30,35 +30,9 @@ from ..fields.siren import SirenSpec
 from ..fields.transforms import inverse_map
 
 
-@partial(
-    jax.jit,
-    static_argnames=("spec", "gt_mode", "max_iterations", "fast"),
-)
-def trace_rays(
-    params,
-    spec: SirenSpec,
-    origins,  # (N, 3) entry points into the domain
-    rays,  # (N, 3) unit directions
-    active0,  # (N,) bool: rays that entered the domain
-    *,
-    gt_mode: str,
-    alpha: float,
-    surface_threshold: float,
-    max_iterations: int = 100,
-    fast: bool = True,
-):
-    """March ``t ← t + ray · inverse(|f(t)|)`` until convergence.
-
-    Returns (positions (N, 3), hits (N,) bool, iterations used).
-    Reference loop semantics (``render_st.py:136-161``): a ray hits when its
-    step (or field value, in siren mode) drops below the threshold while
-    still inside [-1, 1]³; it dies when it leaves the domain.
-
-    ``fast=True`` runs the march's field evaluations in mixed bf16 (f32
-    first layer + accumulation); positions stay f32.  Step-length error is
-    ≲1%, well inside the convergence tolerance of the march.
-    """
-    compute_dtype = jnp.bfloat16 if fast else None
+def _march_while(params, spec, origins, rays, active0, *, gt_mode, alpha,
+                 surface_threshold, max_iterations, compute_dtype):
+    """The core masked march as one ``lax.while_loop`` (traced body)."""
 
     def cond(carry):
         t0, active, hits, it = carry
@@ -80,15 +54,75 @@ def trace_rays(
         active = active & ~thresh & in_domain
         return t0, active, hits, it + 1
 
-    n = origins.shape[0]
     init = (
         origins.astype(jnp.float32),
         active0,
-        jnp.zeros((n,), bool),
+        # derive from the input so the carry keeps the same varying-axes
+        # type under shard_map (a fresh constant would be unvarying)
+        active0 & False,
         jnp.int32(0),
     )
     t0, active, hits, it = lax.while_loop(cond, body, init)
     return t0, hits, it
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "gt_mode", "max_iterations", "fast", "mesh"),
+)
+def trace_rays(
+    params,
+    spec: SirenSpec,
+    origins,  # (N, 3) entry points into the domain
+    rays,  # (N, 3) unit directions
+    active0,  # (N,) bool: rays that entered the domain
+    *,
+    gt_mode: str,
+    alpha: float,
+    surface_threshold: float,
+    max_iterations: int = 100,
+    fast: bool = True,
+    mesh=None,
+):
+    """March ``t ← t + ray · inverse(|f(t)|)`` until convergence.
+
+    Returns (positions (N, 3), hits (N,) bool, iterations used).
+    Reference loop semantics (``render_st.py:136-161``): a ray hits when its
+    step (or field value, in siren mode) drops below the threshold while
+    still inside [-1, 1]³; it dies when it leaves the domain.
+
+    ``fast=True`` runs the march's field evaluations in mixed bf16 (f32
+    first layer + accumulation); positions stay f32.  Step-length error is
+    ≲1%, well inside the convergence tolerance of the march.
+
+    With ``mesh`` the ray axis is sharded over the ``data`` axis
+    (``shard_map``; params replicated, no collectives — rays are
+    independent) and each device marches its own shard, exiting as soon as
+    *its* rays converge.  N must be divisible by ``mesh.size``; per-ray
+    results are bit-identical to the single-device march.
+    """
+    compute_dtype = jnp.bfloat16 if fast else None
+    kw = dict(
+        gt_mode=gt_mode, alpha=alpha, surface_threshold=surface_threshold,
+        max_iterations=max_iterations, compute_dtype=compute_dtype,
+    )
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        def local(params, o, r, a):
+            t0, hits, it = _march_while(params, spec, o, r, a, **kw)
+            return t0, hits, it[None]
+
+        t0, hits, its = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS)),
+        )(params, origins, rays, active0)
+        return t0, hits, jnp.max(its)
+    return _march_while(params, spec, origins, rays, active0, **kw)
 
 
 def _pallas_value_ok(spec) -> bool:
@@ -206,6 +240,14 @@ def trace_rays_compacted(
     where host↔device transfers are expensive.  Total field evaluations
     shrink to ~Σ active(t) instead of N·iterations.
 
+    Host synchronisation is *pipelined*: while the active set is large the
+    loop blocks on the exact count (compaction wins dominate), but once the
+    bucket is small the count read of segment *i* resolves while segment
+    *i+1* already runs on device — a slightly stale count is still a valid
+    bucket bound because the active set only shrinks.  On remote-TPU
+    platforms the per-segment round-trip latency otherwise dominates the
+    tail of the march.
+
     Same contract/result as :func:`trace_rays`; returns numpy
     (positions, hits, iterations).
     """
@@ -214,19 +256,19 @@ def trace_rays_compacted(
     # pallas value kernel's tile
     n = ((n_real + 1023) // 1024) * 1024
     pad = n - n_real
+    active_np = np.concatenate([np.asarray(active0, bool), np.zeros(pad, bool)])
+    count = int(active_np.sum())  # exact initial count, free (host-side)
     t0 = jnp.asarray(
         np.concatenate([origins, np.zeros((pad, 3), np.float32)]), jnp.float32
     )
     rays_d = jnp.asarray(
         np.concatenate([rays, np.zeros((pad, 3), np.float32)]), jnp.float32
     )
-    active = jnp.asarray(np.concatenate([active0, np.zeros(pad, bool)]))
+    active = jnp.asarray(active_np)
     hits = jnp.zeros(n, bool)
     it = 0
-    while it < max_iterations:
-        count = int(jnp.sum(active))  # the only per-segment host transfer
-        if count == 0:
-            break
+    pending = None  # in-flight count read from an earlier segment
+    while it < max_iterations and count > 0:
         bucket = min(n, max(1024, 1 << int(np.ceil(np.log2(count)))))
         t0_b, rays_b, act_b, perm = _compact(t0, rays_d, active, bucket)
         hit_b = jnp.zeros(bucket, bool)
@@ -240,6 +282,21 @@ def trace_rays_compacted(
         t0, hits = _scatter_back(perm, t0_b, hit_b, t0, hits)
         active = active.at[perm].set(act_b)
         it += segment
+        post_count = jnp.sum(active)
+        if count > n // 8:
+            # large active set: exact buckets are worth a blocking sync
+            count = int(post_count)
+            pending = None
+        else:
+            # small active set: use the oldest *resolved* count (a stale
+            # count only over-sizes the bucket, never drops rays; keeping
+            # the oldest outstanding read guarantees it eventually resolves
+            # even when the host dispatches ahead of the device)
+            if pending is None:
+                pending = post_count
+            elif pending.is_ready():
+                count = int(pending)
+                pending = post_count
     return np.asarray(t0)[:n_real], np.asarray(hits)[:n_real], it
 
 

@@ -188,3 +188,55 @@ class TestOverRelaxation:
         if both.any():
             d = np.linalg.norm(p1[both] - p2[both], axis=1)
             assert np.median(d) < 0.05
+
+
+class TestShardedRendering:
+    """VERDICT #9: rays / candidate points sharded over the device mesh must
+    reproduce the single-device results (per-ray independence + replicated
+    params make the sharded run numerically identical)."""
+
+    @pytest.fixture()
+    def mesh8(self):
+        from diffudf_tpu.parallel.mesh import data_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device CPU mesh")
+        return data_mesh(8)
+
+    def test_trace_rays_sharded_matches_single(self, trained_sphere, mesh8):
+        params, spec, r, alpha = trained_sphere
+        cam = [0.0, 0.0, 2.5]
+        rays = world_rays(32, 32, 35, cam, noise=0.5)  # 1024 rays = 8·128
+        t0, valid = cube_entry_points(rays, cam)
+        args = (
+            params, spec, jnp.asarray(t0, jnp.float32),
+            jnp.asarray(rays, jnp.float32), jnp.asarray(valid),
+        )
+        kw = dict(gt_mode="tanh", alpha=alpha, surface_threshold=0.02,
+                  max_iterations=80)
+        p1, h1, _ = trace_rays(*args, **kw)
+        p8, h8, _ = trace_rays(*args, mesh=mesh8, **kw)
+        np.testing.assert_array_equal(np.asarray(h8), np.asarray(h1))
+        np.testing.assert_allclose(np.asarray(p8), np.asarray(p1), atol=1e-6)
+
+    def test_project_points_sharded_matches_single(self, trained_sphere, mesh8):
+        params, spec, r, alpha = trained_sphere
+        x0 = jax.random.uniform(jax.random.PRNGKey(3), (2048, 3),
+                                minval=-1, maxval=1)
+        kw = dict(gt_mode="tanh", alpha=alpha, num_steps=6,
+                  want_hessian_normals=True)
+        x1, s1, n1 = project_points(params, spec, x0, **kw)
+        x8, s8, n8 = project_points(params, spec, x0, mesh=mesh8, **kw)
+        np.testing.assert_allclose(np.asarray(x8), np.asarray(x1), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(n8), np.asarray(n1), atol=1e-5)
+
+    def test_generate_point_cloud_sharded(self, trained_sphere, mesh8):
+        params, spec, r, alpha = trained_sphere
+        pts, normals = generate_point_cloud(
+            params, spec, gt_mode="tanh", alpha=alpha,
+            num_steps=6, num_points=2000, surf_thresh=0.01, max_iter=20,
+            mesh=mesh8,
+        )
+        assert len(pts) >= 2000
+        rr = np.linalg.norm(pts, axis=1)
+        assert np.median(np.abs(rr - r)) < 0.03
