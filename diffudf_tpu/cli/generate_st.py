@@ -27,11 +27,15 @@ from ..train import checkpoint as ckpt
 
 
 def _pad(arr, mult):
+    """Pad to a power-of-4 bucket of ``mult`` — variable lengths would
+    compile a fresh executable per render pass on remote platforms."""
     n = len(arr)
-    pad = (-n) % mult
-    if pad == 0:
+    cap = mult
+    while cap < n:
+        cap *= 4
+    if cap == n:
         return arr, n
-    return np.concatenate([arr, np.zeros((pad, *arr.shape[1:]), arr.dtype)]), n
+    return np.concatenate([arr, np.zeros((cap - n, *arr.shape[1:]), arr.dtype)]), n
 
 
 def create_projectional_image(
@@ -62,8 +66,8 @@ def create_projectional_image(
             max_iterations=rendering_config.get("max_iterations", 100),
             mesh=mesh,
         )
-        positions = np.asarray(positions)[:n_real]
-        hits = np.asarray(hits)[:n_real]
+        positions = positions[:n_real]
+        hits = hits[:n_real]
     else:
         from ..render.tracer import trace_rays_compacted
 
@@ -74,9 +78,8 @@ def create_projectional_image(
             surface_threshold=rendering_config["surface_threshold"],
             max_iterations=rendering_config.get("max_iterations", 100),
             relaxation=rendering_config.get("relaxation", 1.0),
+            return_device=True,
         )
-    positions = jnp.asarray(positions)
-    hits = jnp.asarray(hits)
     gd_steps = rendering_config.get("gd_steps", 0)
     if gd_steps:
         positions = gradient_descent_refine(
@@ -84,6 +87,9 @@ def create_projectional_image(
             steps=gd_steps,
         )
 
+    # materialise only the hit rows (shading never reads non-hit positions;
+    # the full-frame positions download costs ~300 ms/pass on a tunneled
+    # platform)
     hits_np = np.asarray(hits)
     if hits_np.sum() == 0:
         raise ValueError(
@@ -92,8 +98,12 @@ def create_projectional_image(
             f"point at distance {rendering_config['surface_threshold']} or "
             f"lower from surface."
         )
-    pos_np = np.asarray(positions)
-    hit_pts = pos_np[hits_np]
+    from ..render.tracer import gather_rows
+
+    hit_idx = np.flatnonzero(hits_np)
+    hit_pts = gather_rows(positions, hit_idx)
+    pos_np = np.zeros((len(hits_np), 3), np.float32)
+    pos_np[hit_idx] = hit_pts
 
     if gt_mode == "siren":
         from ..autodiff.ops import value_grad

@@ -133,16 +133,11 @@ def _pallas_value_ok(spec) -> bool:
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=("spec", "gt_mode", "segment", "fast", "use_pallas",
-                     "relaxation"),
-)
-def _trace_segment(params, spec, t0, rays, active, hits, *, gt_mode, alpha,
-                   surface_threshold, segment, fast, use_pallas=False,
-                   relaxation: float = 1.0):
+def _trace_segment_body(params, spec, t0, rays, active, hits, *, gt_mode,
+                        alpha, surface_threshold, segment, fast,
+                        use_pallas=False, relaxation: float = 1.0):
     """``segment`` march iterations over a compact ray bucket; returns the
-    updated (t0, active, hits).
+    updated (t0, active, hits).  Traced inside :func:`_march_round`.
 
     Iterations are python-unrolled so the Pallas value kernel sits at the
     top level of the jit (nesting pallas inside lax loops is pathological
@@ -195,23 +190,110 @@ def _trace_segment(params, spec, t0, rays, active, hits, *, gt_mode, alpha,
     return t0, active, hits
 
 
-@partial(jax.jit, static_argnames=("bucket",))
-def _compact(t0, rays, active, bucket):
-    """Gather the ≤bucket active rays to the front (device-side).
-
-    Returns (t0_b, rays_b, act_b, perm) with static shapes; perm indexes the
-    full arrays for the scatter-back.
-    """
+@partial(
+    jax.jit,
+    static_argnames=("spec", "gt_mode", "bucket", "segment", "fast",
+                     "use_pallas", "relaxation"),
+    donate_argnums=(2, 4, 5),
+)
+def _march_round(params, spec, t0, rays, active, hits, *, gt_mode, alpha,
+                 surface_threshold, bucket, segment, fast, use_pallas,
+                 relaxation):
+    """One fused round: compact the ≤bucket active rays to the front, march
+    ``segment`` iterations on the bucket, scatter back, and return the new
+    active count — a single executable dispatch.  On remote-TPU platforms
+    every dispatch is an RPC, and the previous 4-dispatch round (compact /
+    march / scatter / count) was latency-bound end to end."""
     order = jnp.argsort(~active)  # actives first, stable
     perm = order[:bucket]
-    return t0[perm], rays[perm], active[perm], perm
-
-
-@partial(jax.jit, donate_argnums=(3, 4))
-def _scatter_back(perm, t0_b, hit_b, t0, hits):
+    t0_b, rays_b, act_b = t0[perm], rays[perm], active[perm]
+    hit_b = jnp.zeros(bucket, bool)
+    t0_b, act_b, hit_b = _trace_segment_body(
+        params, spec, t0_b, rays_b, act_b, hit_b,
+        gt_mode=gt_mode, alpha=alpha, surface_threshold=surface_threshold,
+        segment=segment, fast=fast, use_pallas=use_pallas,
+        relaxation=relaxation,
+    )
     t0 = t0.at[perm].set(t0_b)
     hits = hits.at[perm].set(hits[perm] | hit_b)
-    return t0, hits
+    active = active.at[perm].set(act_b)
+    return t0, active, hits, jnp.sum(active)
+
+
+def _bucket_for(count: int, n: int) -> int:
+    """Smallest power-of-4 bucket ≥ count (floor 1024, cap n).
+
+    Coarse (×4) granularity keeps the set of compiled round executables
+    small — on remote platforms every new (bucket, segment) shape is a
+    20-40 s XLA compile, which dwarfs the ≤4× extra evals of an oversized
+    bucket on the small late-march rounds.
+    """
+    b = 1024
+    while b < count and b < n:
+        b *= 4
+    return min(b, n)
+
+
+def warmup_compacted(
+    params,
+    spec: SirenSpec,
+    n_rays: int,
+    *,
+    gt_mode: str,
+    alpha: float,
+    surface_threshold: float,
+    max_iterations: int = 100,
+    segment: int = 8,
+    fast: bool = True,
+    relaxation: float = 1.0,
+):
+    """Pre-compile every (bucket, segment) round the compacted march can
+    visit for an ``n_rays`` trace — different runs visit different bucket
+    sequences (the active-set decay is data-dependent), and a cold compile
+    inside a render/benchmark loop costs far more than this sweep."""
+    n = ((n_rays + 1023) // 1024) * 1024
+    buckets = set()
+    b = 1024
+    while b < n:
+        buckets.add(b)
+        b *= 4
+    buckets.add(n)
+    segments = {segment}
+    if max_iterations % segment:
+        segments.add(max_iterations % segment)
+    t0 = jnp.zeros((n, 3), jnp.float32)
+    rays = jnp.zeros((n, 3), jnp.float32)
+    active = jnp.zeros(n, bool)
+    hits = jnp.zeros(n, bool)
+    for bk in sorted(buckets):
+        for seg in sorted(segments):
+            t0, active, hits, _ = _march_round(
+                params, spec, t0, rays, active, hits,
+                gt_mode=gt_mode, alpha=alpha,
+                surface_threshold=surface_threshold, bucket=bk, segment=seg,
+                fast=fast, use_pallas=_pallas_value_ok(spec),
+                relaxation=relaxation,
+            )
+    jax.block_until_ready(t0)
+
+
+def gather_rows(arr, idx: np.ndarray, floor: int = 1024) -> np.ndarray:
+    """Materialise ``arr[idx]`` on host with shape-bucketed gathers.
+
+    A gather whose index length varies per call compiles a fresh executable
+    every time (3+ s on remote platforms); padding the index vector to a
+    power-of-4 bucket keeps the executable set tiny.  The padded rows (index
+    0) are sliced off before returning.
+    """
+    m = len(idx)
+    if m == 0:
+        return np.zeros((0,) + tuple(arr.shape[1:]), np.dtype(arr.dtype))
+    cap = floor
+    while cap < m:
+        cap *= 4
+    idx_p = np.zeros(cap, np.int64)
+    idx_p[:m] = idx
+    return np.asarray(arr[jnp.asarray(idx_p)])[:m]
 
 
 def trace_rays_compacted(
@@ -228,6 +310,8 @@ def trace_rays_compacted(
     segment: int = 8,
     fast: bool = True,
     relaxation: float = 1.0,
+    pipeline_below: float = 0.0,
+    return_device: bool = False,
 ):
     """March with periodic *on-device* active-ray compaction.
 
@@ -240,50 +324,73 @@ def trace_rays_compacted(
     where host↔device transfers are expensive.  Total field evaluations
     shrink to ~Σ active(t) instead of N·iterations.
 
-    Host synchronisation is *pipelined*: while the active set is large the
-    loop blocks on the exact count (compaction wins dominate), but once the
-    bucket is small the count read of segment *i* resolves while segment
-    *i+1* already runs on device — a slightly stale count is still a valid
-    bucket bound because the active set only shrinks.  On remote-TPU
-    platforms the per-segment round-trip latency otherwise dominates the
-    tail of the march.
+    Each round (compact + ``segment`` iterations + scatter + count) is a
+    single fused executable — one dispatch per round, which matters on
+    remote platforms where every dispatch is an RPC.  ``pipeline_below``
+    optionally overlaps the count read with the next round once the active
+    fraction drops below it (a stale count is still a valid bucket bound
+    because the active set only shrinks); with fused rounds the blocking
+    read is usually just as fast, so the default stays synchronous.
 
     Same contract/result as :func:`trace_rays`; returns numpy
-    (positions, hits, iterations).
+    (positions, hits, iterations) — or device arrays with
+    ``return_device=True``, which skips the full-frame positions download
+    (~300 ms for 720² rays on a tunneled platform; callers typically gather
+    only the hit rows).  Device-array inputs are padded on device, avoiding
+    the mirror-image host→device upload.
     """
     n_real = origins.shape[0]
     # pad to a multiple of 1024 so every power-of-two bucket divides the
     # pallas value kernel's tile
     n = ((n_real + 1023) // 1024) * 1024
     pad = n - n_real
-    active_np = np.concatenate([np.asarray(active0, bool), np.zeros(pad, bool)])
-    count = int(active_np.sum())  # exact initial count, free (host-side)
-    t0 = jnp.asarray(
-        np.concatenate([origins, np.zeros((pad, 3), np.float32)]), jnp.float32
+    on_device = isinstance(origins, jax.Array) and not isinstance(
+        origins, np.ndarray
     )
-    rays_d = jnp.asarray(
-        np.concatenate([rays, np.zeros((pad, 3), np.float32)]), jnp.float32
-    )
-    active = jnp.asarray(active_np)
+    if on_device:
+        rays_d = jnp.asarray(rays, jnp.float32)
+        if pad:
+            t0 = jnp.concatenate(
+                [jnp.asarray(origins, jnp.float32),
+                 jnp.zeros((pad, 3), jnp.float32)]
+            )
+            rays_d = jnp.concatenate([rays_d, jnp.zeros((pad, 3), jnp.float32)])
+            active = jnp.concatenate(
+                [jnp.asarray(active0, bool), jnp.zeros(pad, bool)]
+            )
+        else:
+            # the march donates its position/active buffers — copy so the
+            # caller's arrays survive
+            t0 = jnp.array(origins, jnp.float32, copy=True)
+            active = jnp.array(active0, bool, copy=True)
+        count = int(jnp.sum(active))  # one scalar sync
+    else:
+        active_np = np.concatenate(
+            [np.asarray(active0, bool), np.zeros(pad, bool)]
+        )
+        count = int(active_np.sum())  # exact initial count, free (host-side)
+        t0 = jnp.asarray(
+            np.concatenate([origins, np.zeros((pad, 3), np.float32)]),
+            jnp.float32,
+        )
+        rays_d = jnp.asarray(
+            np.concatenate([rays, np.zeros((pad, 3), np.float32)]), jnp.float32
+        )
+        active = jnp.asarray(active_np)
     hits = jnp.zeros(n, bool)
     it = 0
-    pending = None  # in-flight count read from an earlier segment
+    pending = None  # in-flight count read from an earlier round
     while it < max_iterations and count > 0:
-        bucket = min(n, max(1024, 1 << int(np.ceil(np.log2(count)))))
-        t0_b, rays_b, act_b, perm = _compact(t0, rays_d, active, bucket)
-        hit_b = jnp.zeros(bucket, bool)
-        t0_b, act_b, hit_b = _trace_segment(
-            params, spec, t0_b, rays_b, act_b, hit_b,
+        bucket = _bucket_for(count, n)
+        t0, active, hits, post_count = _march_round(
+            params, spec, t0, rays_d, active, hits,
             gt_mode=gt_mode, alpha=alpha,
-            surface_threshold=surface_threshold,
+            surface_threshold=surface_threshold, bucket=bucket,
             segment=min(segment, max_iterations - it), fast=fast,
             use_pallas=_pallas_value_ok(spec), relaxation=relaxation,
         )
-        t0, hits = _scatter_back(perm, t0_b, hit_b, t0, hits)
-        active = active.at[perm].set(act_b)
         it += segment
-        post_count = jnp.sum(active)
-        if count > n // 8:
+        if count > n * pipeline_below:
             # large active set: exact buckets are worth a blocking sync
             count = int(post_count)
             pending = None
@@ -297,6 +404,8 @@ def trace_rays_compacted(
             elif pending.is_ready():
                 count = int(pending)
                 pending = post_count
+    if return_device:
+        return t0[:n_real], hits[:n_real], it
     return np.asarray(t0)[:n_real], np.asarray(hits)[:n_real], it
 
 
