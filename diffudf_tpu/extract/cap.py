@@ -31,29 +31,56 @@ def _corner_views(a: np.ndarray):
     ]
 
 
+_CORNERS = [
+    (0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0),
+    (0, 0, 1), (1, 0, 1), (0, 1, 1), (1, 1, 1),
+]
+
+
 def signed_cell_values(udf: np.ndarray, dirs: np.ndarray, threshold: float = CAP_THRESHOLD):
-    """-> (cell_origins (M, 3) int, cell_values (M, 8) signed) for active cells."""
+    """-> (cell_origins (M, 3) int, cell_values (M, 8) signed) for active cells.
+
+    A cell is active iff its minimum corner UDF is ≤ threshold (reference
+    gate, ``render_mc.py:213``) — equivalently, iff it touches a vertex
+    below the threshold.  Enumerating cells from those (few) vertices costs
+    one contiguous compare over the grid plus O(8·V) index math, instead of
+    eight strided (N−1)³ reductions (~4 s at N=256)."""
     udf = np.asarray(udf, dtype=np.float32)
     dirs = np.asarray(dirs, dtype=np.float32)
+    n0, n1, n2 = udf.shape
 
-    uc = _corner_views(udf)  # 8 × (N-1)³
-    anchor = dirs[:-1, :-1, :-1]  # direction at corner (0,0,0) of each cell
-    dc = _corner_views_dirs(dirs)
+    small = np.flatnonzero((udf <= threshold).ravel())
+    if small.size == 0:
+        return np.zeros((0, 3), np.int64), np.zeros((0, 8), np.float32)
+    vi = small // (n1 * n2)
+    vj = (small // n2) % n1
+    vk = small % n2
 
-    min_udf = np.minimum.reduce(uc)
-    active = min_udf <= threshold
-    idx = np.argwhere(active)
-    if len(idx) == 0:
-        return idx, np.zeros((0, 8), np.float32)
+    # cells having a below-threshold vertex as one of their 8 corners
+    cand = []
+    for dx, dy, dz in _CORNERS:
+        ci, cj, ck = vi - dx, vj - dy, vk - dz
+        ok = (
+            (ci >= 0) & (cj >= 0) & (ck >= 0)
+            & (ci < n0 - 1) & (cj < n1 - 1) & (ck < n2 - 1)
+        )
+        cand.append((ci[ok] * (n1 - 1) + cj[ok]) * (n2 - 1) + ck[ok])
+    cells = np.unique(np.concatenate(cand))
 
-    ii, jj, kk = idx[:, 0], idx[:, 1], idx[:, 2]
-    anchor_a = anchor[ii, jj, kk]  # (M, 3)
-    vals = np.empty((len(idx), 8), np.float32)
-    for c in range(8):
-        v = uc[c][ii, jj, kk]
-        d = dc[c][ii, jj, kk]
-        flip = np.sum(anchor_a * d, axis=1) < 0
-        vals[:, c] = np.where(flip, -v, v)
+    ii = cells // ((n1 - 1) * (n2 - 1))
+    jj = (cells // (n2 - 1)) % (n1 - 1)
+    kk = cells % (n2 - 1)
+    idx = np.stack([ii, jj, kk], axis=1)
+
+    base = (ii * n1 + jj) * n2 + kk
+    offs = np.array([(dx * n1 + dy) * n2 + dz for dx, dy, dz in _CORNERS])
+    corner_lin = base[:, None] + offs[None, :]  # (M, 8)
+    u8 = udf.reshape(-1)[corner_lin]
+    d8 = dirs.reshape(-1, 3)[corner_lin]  # (M, 8, 3)
+
+    anchor = d8[:, 0, :]  # direction at corner (0,0,0), reference anchor
+    flip = np.einsum("mc,mkc->mk", anchor, d8) < 0
+    vals = np.where(flip, -u8, u8).astype(np.float32)
 
     crossing = vals.min(axis=1) < 0
     return idx[crossing], vals[crossing]
