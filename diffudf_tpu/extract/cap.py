@@ -86,17 +86,6 @@ def signed_cell_values(udf: np.ndarray, dirs: np.ndarray, threshold: float = CAP
     return idx[crossing], vals[crossing]
 
 
-def _corner_views_dirs(dirs: np.ndarray):
-    return [
-        dirs[dx : dirs.shape[0] - 1 + dx, dy : dirs.shape[1] - 1 + dy,
-             dz : dirs.shape[2] - 1 + dz]
-        for (dx, dy, dz) in [
-            (0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0),
-            (0, 0, 1), (1, 0, 1), (0, 1, 1), (1, 1, 1),
-        ]
-    ]
-
-
 def extract_mesh_cap(udf, dirs, N: int, threshold: float = CAP_THRESHOLD,
                      triangulator: str = DEFAULT_TRIANGULATOR):
     """-> (verts (V, 3) in [-1, 1]³, faces (F, 3)).

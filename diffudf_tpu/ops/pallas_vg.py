@@ -18,10 +18,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..fields.siren import SirenSpec
+from .pallas_vgh import _mm
 
 
 def _vg_fwd_kernel(x_ref, w1_ref, b1_ref, wh_ref, bh_ref, wl_ref, bl_ref,
-                   out_ref, *, spec: SirenSpec, tile: int):
+                   out_ref, *, spec: SirenSpec, tile: int, compute_dtype=None):
     n_hidden_mm = len(spec.hidden) - 1
     freqs = spec.freqs
     w0 = freqs[0]
@@ -29,14 +30,14 @@ def _vg_fwd_kernel(x_ref, w1_ref, b1_ref, wh_ref, bh_ref, wl_ref, bl_ref,
     T = tile
 
     x = x_ref[:]
-    z = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+    z = _mm(x, w1_ref[:], compute_dtype) + b1_ref[:]
     s = jnp.sin(w0 * z)
     d1 = w0 * jnp.cos(w0 * z)
     rows = [s] + [d1 * w1_ref[k, :][None, :] for k in range(3)]
     carry = jnp.concatenate(rows, axis=0)  # (4T, h)
 
     for l in range(n_hidden_mm):
-        m = jnp.dot(carry, wh_ref[l], preferred_element_type=jnp.float32)
+        m = _mm(carry, wh_ref[l], compute_dtype)
         z = m[0:T] + bh_ref[l]
         s = jnp.sin(ww * z)
         d1 = ww * jnp.cos(ww * z)
@@ -44,15 +45,15 @@ def _vg_fwd_kernel(x_ref, w1_ref, b1_ref, wh_ref, bh_ref, wl_ref, bl_ref,
             [s] + [d1 * m[(1 + k) * T:(2 + k) * T] for k in range(3)], axis=0
         )
 
-    out = jnp.dot(carry, wl_ref[:], preferred_element_type=jnp.float32)  # (4T,1)
+    out = _mm(carry, wl_ref[:], compute_dtype)  # (4T,1)
     cols = [out[0:T] + bl_ref[0]]
     cols += [out[(1 + k) * T:(2 + k) * T] for k in range(3)]
     cols.append(jnp.zeros((T, 4), jnp.float32))
     out_ref[:] = jnp.concatenate(cols, axis=1)  # (T, 8)
 
 
-@partial(jax.jit, static_argnames=("spec", "tile"))
-def vg_pallas(params, spec: SirenSpec, x, tile: int = 256):
+@partial(jax.jit, static_argnames=("spec", "tile", "compute_dtype"))
+def vg_pallas(params, spec: SirenSpec, x, tile: int = 256, compute_dtype=None):
     """Fused (f, ∇f): x (N, 3), N % tile == 0 -> (f (N,), g (N, 3))."""
     h = spec.hidden[0]
     if any(w != h for w in spec.hidden):
@@ -67,7 +68,8 @@ def vg_pallas(params, spec: SirenSpec, x, tile: int = 256):
     wl = params[-1]["w"]
     bl = params[-1]["b"]
     out = pl.pallas_call(
-        partial(_vg_fwd_kernel, spec=spec, tile=tile),
+        partial(_vg_fwd_kernel, spec=spec, tile=tile,
+                compute_dtype=compute_dtype),
         grid=(n // tile,),
         in_specs=[
             pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -88,7 +90,7 @@ def _vg_bwd_kernel(
     x_ref, w1_ref, b1_ref, wh_ref, bh_ref, wl_ref, cot_ref,
     wbar1_ref, bbar1_ref, wbarh_ref, bbarh_ref, wbarl_ref, bblL_ref,
     carr, d1s, d2s,
-    *, spec: SirenSpec, tile: int,
+    *, spec: SirenSpec, tile: int, compute_dtype=None,
 ):
     L = len(spec.hidden)
     n_hidden_mm = L - 1
@@ -109,7 +111,7 @@ def _vg_bwd_kernel(
     x = x_ref[:]
 
     # forward recompute
-    z = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+    z = _mm(x, w1_ref[:], compute_dtype) + b1_ref[:]
     s = jnp.sin(w0 * z)
     d1 = w0 * jnp.cos(w0 * z)
     d1s[0] = d1
@@ -119,7 +121,7 @@ def _vg_bwd_kernel(
     )
     carr[0] = carry
     for l in range(n_hidden_mm):
-        m = jnp.dot(carry, wh_ref[l], preferred_element_type=jnp.float32)
+        m = _mm(carry, wh_ref[l], compute_dtype)
         z = m[0:T] + bh_ref[l]
         s = jnp.sin(ww * z)
         d1 = ww * jnp.cos(ww * z)
@@ -137,11 +139,10 @@ def _vg_bwd_kernel(
     carrybar = jnp.concatenate(
         [cot[:, k:k + 1] * wl_row for k in range(4)], axis=0
     )
-    wlbar = jnp.dot(cot[:, 0:1].T, head_in[0:T], preferred_element_type=jnp.float32)
+    wlbar = _mm(cot[:, 0:1].T, head_in[0:T], compute_dtype)
     for k in range(1, 4):
-        wlbar = wlbar + jnp.dot(
-            cot[:, k:k + 1].T, head_in[k * T:(k + 1) * T],
-            preferred_element_type=jnp.float32,
+        wlbar = wlbar + _mm(
+            cot[:, k:k + 1].T, head_in[k * T:(k + 1) * T], compute_dtype
         )
     wbarl_ref[:] += wlbar
     col_ids = jax.lax.broadcasted_iota(jnp.int32, cot.shape, 1)
@@ -150,7 +151,7 @@ def _vg_bwd_kernel(
     # hidden layers backward
     for l in reversed(range(n_hidden_mm)):
         carry_in = carr[l]
-        m = jnp.dot(carry_in, wh_ref[l], preferred_element_type=jnp.float32)
+        m = _mm(carry_in, wh_ref[l], compute_dtype)
         d1 = d1s[l + 1]
         d2 = d2s[l + 1]
         jz = [m[(1 + k) * T:(2 + k) * T] for k in range(3)]
@@ -159,9 +160,9 @@ def _vg_bwd_kernel(
         zbar = d1 * ab + d2 * (jb[0] * jz[0] + jb[1] * jz[1] + jb[2] * jz[2])
         jzbar = [d1 * jb[k] for k in range(3)]
         mbar = jnp.concatenate([zbar] + jzbar, axis=0)
-        wbarh_ref[l] += jnp.dot(carry_in.T, mbar, preferred_element_type=jnp.float32)
+        wbarh_ref[l] += _mm(carry_in.T, mbar, compute_dtype)
         bbarh_ref[l, :] += jnp.sum(zbar, axis=0)
-        carrybar = jnp.dot(mbar, wh_ref[l].T, preferred_element_type=jnp.float32)
+        carrybar = _mm(mbar, wh_ref[l].T, compute_dtype)
 
     # first layer backward
     d1 = d1s[0]
@@ -170,14 +171,15 @@ def _vg_bwd_kernel(
     jb = [carrybar[(1 + k) * T:(2 + k) * T] for k in range(3)]
     w1 = w1_ref[:]
     zbar1 = d1 * ab + d2 * sum(jb[k] * w1[k, :][None, :] for k in range(3))
-    wbar1 = jnp.dot(x.T, zbar1, preferred_element_type=jnp.float32)
+    wbar1 = _mm(x.T, zbar1, compute_dtype)
     direct = [jnp.sum(jb[k] * d1, axis=0) for k in range(3)]
     wbar1_ref[:] += wbar1 + jnp.stack(direct, axis=0)
     bbar1_ref[0, :] += jnp.sum(zbar1, axis=0)
 
 
-@partial(jax.jit, static_argnames=("spec", "tile"))
-def _vg_bwd(params, spec: SirenSpec, x, cot_packed, tile: int = 128):
+@partial(jax.jit, static_argnames=("spec", "tile", "compute_dtype"))
+def _vg_bwd(params, spec: SirenSpec, x, cot_packed, tile: int = 128,
+            compute_dtype=None):
     h = spec.hidden[0]
     L = len(spec.hidden)
     n = x.shape[0]
@@ -188,7 +190,8 @@ def _vg_bwd(params, spec: SirenSpec, x, cot_packed, tile: int = 128):
     bh = jnp.stack([p["b"] for p in params[1:-1]])
     wl = params[-1]["w"]
     outs = pl.pallas_call(
-        partial(_vg_bwd_kernel, spec=spec, tile=tile),
+        partial(_vg_bwd_kernel, spec=spec, tile=tile,
+                compute_dtype=compute_dtype),
         grid=(n // tile,),
         in_specs=[
             pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -232,15 +235,20 @@ def _vg_bwd(params, spec: SirenSpec, x, cot_packed, tile: int = 128):
 
 
 @lru_cache(maxsize=8)
-def make_vg_op(spec: SirenSpec, fwd_tile: int = 256, bwd_tile: int = 128):
-    """Custom-VJP fused (f, ∇f) op, differentiable wrt params (x non-diff)."""
+def make_vg_op(spec: SirenSpec, fwd_tile: int = 256, bwd_tile: int = 128,
+               compute_dtype=None):
+    """Custom-VJP fused (f, ∇f) op, differentiable wrt params (x non-diff).
+
+    ``compute_dtype=jnp.bfloat16`` feeds the MXU bf16 inputs (f32
+    accumulate) in every matmul — see ``pallas_vgh._mm``."""
     h = spec.hidden[0]
     if any(w != h for w in spec.hidden) or spec.activation != "sine":
         raise ValueError("custom vg op requires a uniform-width sine net")
 
     @jax.custom_vjp
     def op(params, x):
-        return vg_pallas(params, spec, x, tile=fwd_tile)
+        return vg_pallas(params, spec, x, tile=fwd_tile,
+                         compute_dtype=compute_dtype)
 
     def fwd(params, x):
         return op(params, x), (params, x)
@@ -251,7 +259,8 @@ def make_vg_op(spec: SirenSpec, fwd_tile: int = 256, bwd_tile: int = 128):
         cot_packed = jnp.concatenate(
             [fbar[:, None], gbar, jnp.zeros((x.shape[0], 4), jnp.float32)], axis=1
         )
-        return _vg_bwd(params, spec, x, cot_packed, tile=bwd_tile), None
+        return _vg_bwd(params, spec, x, cot_packed, tile=bwd_tile,
+                       compute_dtype=compute_dtype), None
 
     op.defvjp(fwd, bwd)
     return op

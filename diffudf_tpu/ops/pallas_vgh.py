@@ -36,8 +36,23 @@ _TRI_I = (0, 0, 0, 1, 1, 2)
 _TRI_J = (0, 1, 2, 1, 2, 2)
 
 
+def _mm(a, b, compute_dtype):
+    """MXU matmul with optional reduced-precision inputs (f32 accumulate).
+
+    ``compute_dtype=jnp.bfloat16`` feeds the MXU its native input type —
+    ~2-4x the f32 matmul throughput on v5e — while every elementwise op,
+    accumulator and output stays f32.  Input rounding adds ~4e-3 relative
+    noise to the J/H carries, the same magnitude as the (accepted) XLA
+    ``deriv_dtype=bfloat16`` training path.
+    """
+    if compute_dtype is not None:
+        a = a.astype(compute_dtype)
+        b = b.astype(compute_dtype)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
 def _vgh_kernel(x_ref, w1_ref, b1_ref, wh_ref, bh_ref, wl_ref, bl_ref, out_ref,
-                *, spec: SirenSpec, tile: int):
+                *, spec: SirenSpec, tile: int, compute_dtype=None):
     h = spec.hidden[0]
     n_hidden_mm = len(spec.hidden) - 1  # layers applied to the stacked carry
     freqs = spec.freqs
@@ -46,7 +61,7 @@ def _vgh_kernel(x_ref, w1_ref, b1_ref, wh_ref, bh_ref, wl_ref, bl_ref, out_ref,
     x = x_ref[:]  # (T, 3)
 
     # --- first layer: z = x @ W1 + b1 ----------------------------------------
-    z = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+    z = _mm(x, w1_ref[:], compute_dtype) + b1_ref[:]
     w0 = freqs[0]
     s = jnp.sin(w0 * z)
     c = jnp.cos(w0 * z)
@@ -71,7 +86,7 @@ def _vgh_kernel(x_ref, w1_ref, b1_ref, wh_ref, bh_ref, wl_ref, bl_ref, out_ref,
     for l in range(n_hidden_mm):
         w = wh_ref[l]  # (h, h) — static index, no dynamic VMEM slicing
         b = bh_ref[l]  # (h,)
-        m = jnp.dot(carry, w, preferred_element_type=jnp.float32)  # (10T, h)
+        m = _mm(carry, w, compute_dtype)  # (10T, h)
         z = m[0:T] + b
         s = jnp.sin(ww * z)
         c = jnp.cos(ww * z)
@@ -90,15 +105,15 @@ def _vgh_kernel(x_ref, w1_ref, b1_ref, wh_ref, bh_ref, wl_ref, bl_ref, out_ref,
         carry = jnp.concatenate(rows, axis=0)
 
     # --- output head ---------------------------------------------------------
-    out = jnp.dot(carry, wl_ref[:], preferred_element_type=jnp.float32)  # (10T, 1)
+    out = _mm(carry, wl_ref[:], compute_dtype)  # (10T, 1)
     cols = [out[0:T] + bl_ref[0]]
     cols += [out[(1 + k) * T:(2 + k) * T] for k in range(9)]
     cols.append(jnp.zeros((T, 6), jnp.float32))
     out_ref[:] = jnp.concatenate(cols, axis=1)  # (T, 16)
 
 
-@partial(jax.jit, static_argnames=("spec", "tile"))
-def vgh_pallas(params, spec: SirenSpec, x, tile: int = 256):
+@partial(jax.jit, static_argnames=("spec", "tile", "compute_dtype"))
+def vgh_pallas(params, spec: SirenSpec, x, tile: int = 256, compute_dtype=None):
     """Fused (f, ∇f, packed H) via the Pallas kernel.
 
     x: (N, 3) with N a multiple of ``tile``.  Returns (f (N,), g (N, 3),
@@ -121,7 +136,7 @@ def vgh_pallas(params, spec: SirenSpec, x, tile: int = 256):
 
     grid = (n // tile,)
     out = pl.pallas_call(
-        partial(_vgh_kernel, spec=spec, tile=tile),
+        partial(_vgh_kernel, spec=spec, tile=tile, compute_dtype=compute_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),

@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..fields.siren import SirenSpec
-from .pallas_vgh import _vgh_kernel, vgh_pallas
+from .pallas_vgh import _mm, _vgh_kernel, vgh_pallas
 
 _TRI_I = (0, 0, 0, 1, 1, 2)
 _TRI_J = (0, 1, 2, 1, 2, 2)
@@ -45,7 +45,7 @@ def _vgh_bwd_kernel(
     x_ref, w1_ref, b1_ref, wh_ref, bh_ref, wl_ref, cot_ref,
     wbar1_ref, bbar1_ref, wbarh_ref, bbarh_ref, wbarl_ref, bblL_ref,
     carr, d1s, d2s,
-    *, spec: SirenSpec, tile: int,
+    *, spec: SirenSpec, tile: int, compute_dtype=None,
 ):
     h = spec.hidden[0]
     L = len(spec.hidden)  # total activation layers
@@ -68,7 +68,7 @@ def _vgh_bwd_kernel(
     x = x_ref[:]  # (T, 3)
 
     # ---- forward recompute, carries + activation derivs into scratch ---------
-    z = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+    z = _mm(x, w1_ref[:], compute_dtype) + b1_ref[:]
     s = jnp.sin(w0 * z)
     c = jnp.cos(w0 * z)
     d1 = w0 * c
@@ -84,7 +84,7 @@ def _vgh_bwd_kernel(
     carr[0] = carry
 
     for l in range(n_hidden_mm):
-        m = jnp.dot(carry, wh_ref[l], preferred_element_type=jnp.float32)
+        m = _mm(carry, wh_ref[l], compute_dtype)
         z = m[0:T] + bh_ref[l]
         s = jnp.sin(ww * z)
         c = jnp.cos(ww * z)
@@ -109,13 +109,10 @@ def _vgh_bwd_kernel(
     carrybar = jnp.concatenate(cb_rows, axis=0)  # (10T, h)
 
     # W̄L (stored transposed, (1, h)) = Σ_k cot[:,k]ᵀ · head_in-group-k
-    wlbar = jnp.dot(
-        cot[:, 0:1].T, head_in[0:T], preferred_element_type=jnp.float32
-    )
+    wlbar = _mm(cot[:, 0:1].T, head_in[0:T], compute_dtype)
     for k in range(1, 10):
-        wlbar = wlbar + jnp.dot(
-            cot[:, k:k + 1].T, head_in[k * T:(k + 1) * T],
-            preferred_element_type=jnp.float32,
+        wlbar = wlbar + _mm(
+            cot[:, k:k + 1].T, head_in[k * T:(k + 1) * T], compute_dtype
         )
     wbarl_ref[:] += wlbar
     # sum of f̄ without a lane-offset 1-D slice (Mosaic limitation)
@@ -126,7 +123,7 @@ def _vgh_bwd_kernel(
     # ---- hidden layers backward ---------------------------------------------
     for l in reversed(range(n_hidden_mm)):
         carry_in = carr[l]
-        m = jnp.dot(carry_in, wh_ref[l], preferred_element_type=jnp.float32)
+        m = _mm(carry_in, wh_ref[l], compute_dtype)
         d1 = d1s[l + 1]
         d2 = d2s[l + 1]
         jz = [m[(1 + k) * T:(2 + k) * T] for k in range(3)]
@@ -149,13 +146,9 @@ def _vgh_bwd_kernel(
         hzbar = [d1 * hb[q] for q in range(6)]
 
         mbar = jnp.concatenate([zbar] + jzbar + hzbar, axis=0)  # (10T, h)
-        wbarh_ref[l] += jnp.dot(
-            carry_in.T, mbar, preferred_element_type=jnp.float32
-        )
+        wbarh_ref[l] += _mm(carry_in.T, mbar, compute_dtype)
         bbarh_ref[l, :] += jnp.sum(zbar, axis=0)
-        carrybar = jnp.dot(
-            mbar, wh_ref[l].T, preferred_element_type=jnp.float32
-        )
+        carrybar = _mm(mbar, wh_ref[l].T, compute_dtype)
 
     # ---- first layer backward ------------------------------------------------
     d1 = d1s[0]
@@ -171,7 +164,7 @@ def _vgh_bwd_kernel(
     )
     zbar1 = d1 * ab + d2 * sum_jw - (w0 * w0) * d1 * sum_hw
 
-    wbar1 = jnp.dot(x.T, zbar1, preferred_element_type=jnp.float32)  # (3, h)
+    wbar1 = _mm(x.T, zbar1, compute_dtype)  # (3, h)
     # direct dependence of J₁/H₁ on W1 rows
     direct = []
     for k in range(3):
@@ -186,8 +179,9 @@ def _vgh_bwd_kernel(
     bbar1_ref[0, :] += jnp.sum(zbar1, axis=0)
 
 
-@partial(jax.jit, static_argnames=("spec", "tile"))
-def _vgh_bwd(params, spec: SirenSpec, x, cot_packed, tile: int = 64):
+@partial(jax.jit, static_argnames=("spec", "tile", "compute_dtype"))
+def _vgh_bwd(params, spec: SirenSpec, x, cot_packed, tile: int = 64,
+             compute_dtype=None):
     """-> param cotangents (same pytree structure as params)."""
     h = spec.hidden[0]
     L = len(spec.hidden)
@@ -202,7 +196,8 @@ def _vgh_bwd(params, spec: SirenSpec, x, cot_packed, tile: int = 64):
 
     grid = (n // tile,)
     outs = pl.pallas_call(
-        partial(_vgh_bwd_kernel, spec=spec, tile=tile),
+        partial(_vgh_bwd_kernel, spec=spec, tile=tile,
+                compute_dtype=compute_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -247,11 +242,15 @@ def _vgh_bwd(params, spec: SirenSpec, x, cot_packed, tile: int = 64):
 
 
 @lru_cache(maxsize=8)
-def make_vgh_op(spec: SirenSpec, fwd_tile: int = 256, bwd_tile: int = 64):
+def make_vgh_op(spec: SirenSpec, fwd_tile: int = 256, bwd_tile: int = 64,
+                compute_dtype=None):
     """Custom-VJP fused (f, ∇f, h6) op specialised to an architecture.
 
     Returns ``op(params, x) -> (f, g, h6)``, differentiable wrt params
     (x is treated as non-differentiable data, which is what training needs).
+    ``compute_dtype=jnp.bfloat16`` runs every MXU matmul (forward recompute
+    and cotangent propagation) on bf16 inputs with f32 accumulation — the
+    kernel-level analogue of the XLA path's ``deriv_dtype``.
     """
     h = spec.hidden[0]
     if any(w != h for w in spec.hidden) or spec.activation != "sine":
@@ -259,7 +258,8 @@ def make_vgh_op(spec: SirenSpec, fwd_tile: int = 256, bwd_tile: int = 64):
 
     @jax.custom_vjp
     def op(params, x):
-        return vgh_pallas(params, spec, x, tile=fwd_tile)
+        return vgh_pallas(params, spec, x, tile=fwd_tile,
+                          compute_dtype=compute_dtype)
 
     def fwd(params, x):
         return op(params, x), (params, x)
@@ -271,7 +271,8 @@ def make_vgh_op(spec: SirenSpec, fwd_tile: int = 256, bwd_tile: int = 64):
             [fbar[:, None], gbar, hbar, jnp.zeros((x.shape[0], 6), jnp.float32)],
             axis=1,
         )
-        grads = _vgh_bwd(params, spec, x, cot_packed, tile=bwd_tile)
+        grads = _vgh_bwd(params, spec, x, cot_packed, tile=bwd_tile,
+                         compute_dtype=compute_dtype)
         return grads, None
 
     op.defvjp(fwd, bwd)

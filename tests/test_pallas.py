@@ -146,3 +146,45 @@ class TestPallasValue:
         f1 = pval.value_pallas(params, spec, x, tile=1024)
         f0 = value(params, spec, x)
         np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=1e-5)
+
+
+class TestBf16Kernels:
+    """compute_dtype=bf16: MXU inputs rounded, f32 accumulation — results
+    must track the f32 kernels to bf16 input-rounding tolerance."""
+
+    def test_vgh_bf16_close_to_f32(self, interp):
+        import diffudf_tpu.ops.pallas_vgh as pv
+
+        spec = SirenSpec(hidden=(64, 64, 64))
+        params = init_siren(jax.random.PRNGKey(0), spec)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (256, 3), minval=-1, maxval=1)
+        f1, g1, h1 = pv.vgh_pallas(params, spec, x, tile=256)
+        f2, g2, h2 = pv.vgh_pallas(params, spec, x, tile=256,
+                                   compute_dtype=jnp.bfloat16)
+        assert np.allclose(f2, f1, atol=2e-2)
+        # relative tolerances scaled to the carries' magnitudes
+        assert np.median(np.abs(g2 - g1)) < 1e-2 * max(np.abs(g1).max(), 1.0)
+        assert np.median(np.abs(h2 - h1)) < 1e-2 * max(np.abs(h1).max(), 1.0)
+
+    def test_vgh_vjp_bf16_grad_direction(self, interp):
+        import diffudf_tpu.ops.pallas_vgh as pv
+        import diffudf_tpu.ops.pallas_vgh_vjp as pvj
+
+        pvj.pl.pallas_call = pv.pl.pallas_call
+        spec = SirenSpec(hidden=(32, 32))
+        params = init_siren(jax.random.PRNGKey(2), spec)
+        x = jax.random.uniform(jax.random.PRNGKey(3), (64, 3), minval=-1, maxval=1)
+
+        def loss(op, p):
+            f, g, h6 = op(p, x)
+            return jnp.sum(f ** 2) + jnp.sum(g ** 2) + 0.1 * jnp.sum(h6 ** 2)
+
+        g32 = jax.grad(lambda p: loss(pvj.make_vgh_op(spec, 64, 64), p))(params)
+        gbf = jax.grad(lambda p: loss(
+            pvj.make_vgh_op(spec, 64, 64, compute_dtype=jnp.bfloat16), p
+        ))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g32),
+                        jax.tree_util.tree_leaves(gbf)):
+            a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+            cos = a @ b / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-12)
+            assert cos > 0.995

@@ -240,3 +240,38 @@ class TestShardedRendering:
         assert len(pts) >= 2000
         rr = np.linalg.norm(pts, axis=1)
         assert np.median(np.abs(rr - r)) < 0.03
+
+
+class TestTracerHelpers:
+    def test_bucket_for_power_of_four(self):
+        from diffudf_tpu.render.tracer import _bucket_for
+
+        n = 519168
+        assert _bucket_for(1, n) == 1024
+        assert _bucket_for(1024, n) == 1024
+        assert _bucket_for(1025, n) == 4096
+        assert _bucket_for(70000, n) == 262144
+        assert _bucket_for(300000, n) == n  # capped at n
+        assert _bucket_for(n, n) == n
+
+    def test_gather_rows_matches_fancy_index(self):
+        import jax.numpy as jnp
+
+        from diffudf_tpu.render.tracer import gather_rows
+
+        rng = np.random.default_rng(0)
+        arr = jnp.asarray(rng.random((5000, 3)).astype(np.float32))
+        idx = rng.choice(5000, size=1337, replace=False)
+        out = gather_rows(arr, idx, floor=64)
+        np.testing.assert_array_equal(out, np.asarray(arr)[idx])
+        assert gather_rows(arr, np.zeros(0, np.int64)).shape == (0, 3)
+
+    def test_warmup_compacted_covers_buckets(self, trained_sphere):
+        from diffudf_tpu.render.tracer import warmup_compacted
+
+        params, spec, r, alpha = trained_sphere
+        # smoke: compiles and runs every (bucket, segment) round variant
+        warmup_compacted(
+            params, spec, 2048, gt_mode="tanh", alpha=alpha,
+            surface_threshold=0.01, max_iterations=20, segment=8,
+        )
