@@ -15,11 +15,29 @@ from __future__ import annotations
 import numpy as np
 
 
+def _unique_rows(keys):
+    """(first_idx, inverse) over duplicate rows via lexsort.
+
+    ``np.unique(axis=0)`` sorts a void view of the rows — several times
+    slower at mesh scale (hundreds of thousands of vertices per cleanup
+    round); a column lexsort plus neighbour compare gives the same groups.
+    Representatives are the group's first row in sorted order (duplicate
+    rows are exactly equal, so any representative is equivalent).
+    """
+    order = np.lexsort(keys.T[::-1])
+    sk = keys[order]
+    new = np.empty(len(keys), bool)
+    new[0] = True
+    new[1:] = (sk[1:] != sk[:-1]).any(axis=1)
+    group = np.cumsum(new) - 1
+    inverse = np.empty(len(keys), np.int64)
+    inverse[order] = group
+    return order[new], inverse
+
+
 def _merge_duplicate_vertices(verts, faces, decimals: int = 8):
     keys = np.round(verts * (10**decimals)).astype(np.int64)
-    uniq, first_idx, inverse = np.unique(
-        keys, axis=0, return_index=True, return_inverse=True
-    )
+    first_idx, inverse = _unique_rows(keys)
     return verts[first_idx], inverse[faces]
 
 
@@ -33,7 +51,7 @@ def _drop_bad_faces(faces):
     faces = faces[good]
     # duplicates irrespective of winding: canonical sorted key
     key = np.sort(faces, axis=1)
-    _, first = np.unique(key, axis=0, return_index=True)
+    first, _ = _unique_rows(key)
     return faces[np.sort(first)]
 
 
@@ -46,10 +64,17 @@ def _drop_unreferenced(verts, faces):
 
 def boundary_edges(faces):
     """Edges belonging to exactly one face: (E, 2) sorted vertex pairs."""
+    if len(faces) == 0:
+        return np.zeros((0, 2), np.int64)
     e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
     e = np.sort(e, axis=1)
-    uniq, counts = np.unique(e, axis=0, return_counts=True)
-    return uniq[counts == 1]
+    # pack each sorted pair into one int64 (vertex ids < 2^31): a flat
+    # unique is far cheaper than the axis=0 row sort
+    n = int(e.max()) + 1
+    packed = e[:, 0].astype(np.int64) * n + e[:, 1]
+    uniq, counts = np.unique(packed, return_counts=True)
+    single = uniq[counts == 1]
+    return np.stack([single // n, single % n], axis=1)
 
 
 def _fill_triangle_holes(verts, faces):

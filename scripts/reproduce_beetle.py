@@ -57,9 +57,11 @@ def main(argv=None):
     print(f"Wrote {dst}:")
     print(open(dst).read())
 
-    # enhanced (beyond-reference) variant: field reprojection + Taubin
-    # smoothing of the extracted vertices (generate_mc refine_vertices=2,
-    # taubin_iters=10 — see extract/refine.py, postprocess.taubin_smooth)
+    # enhanced (beyond-reference) variant: N=385 sparse extraction (N-1
+    # divisible by 6; sparse banding keeps it ~2 s) + field reprojection +
+    # Taubin smoothing of the extracted vertices (generate_mc keys
+    # refine_vertices=2, taubin_iters=10 — see extract/refine.py,
+    # postprocess.taubin_smooth; ladder in PERFORMANCE.md)
     from diffudf_tpu.cli.generate_mc import run_mc
     from diffudf_tpu.cli.quantitative import CSV_HEADER, mesh_metrics
     from diffudf_tpu.data.mesh_io import load_point_cloud
@@ -70,7 +72,7 @@ def main(argv=None):
         osp.join(exp_dir, "beetle", "models", "model_best.npz")
     )
     mesh_mu, mesh_cap = run_mc(
-        params, SirenSpec(hidden=(256,) * 8), "tanh", 256,
+        params, SirenSpec(hidden=(256,) * 8), "tanh", 385,
         osp.join(work, "enhanced.obj"), alpha=100.0, algorithm="both",
         refine_steps=2, taubin_iters=10,
     )
