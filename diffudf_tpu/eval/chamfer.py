@@ -89,3 +89,22 @@ def chamfer_distance(x, y, x_normals=None, y_normals=None, norm: int = 2):
 
         nc = float(_ncdir(xn, yn, ix) + _ncdir(yn, xn, iy))
     return cd, nc
+
+
+def protocol_floor(mesh, n_samples: int = 100000, seeds=(1, 2), norm: int = 1):
+    """-> (chamfer_floor, nc_floor): the metric's resolution limit on a shape.
+
+    Two *independent* surface samplings of the same ground-truth mesh,
+    compared under the benchmark protocol (``cuantitative.py:10-19``
+    conventions), bound what any reconstruction can score: nearest-neighbor
+    distances never vanish at finite sampling density, and normals of
+    nearest (but not identical) points disagree wherever curvature is
+    non-zero.  On the reference's beetle at 100k samples the floor is
+    Chamfer-L1 ≈ 6.1e-3 and NC ≈ 0.028 — context for the published garment
+    numbers, which come from denser/smoother shapes.
+    """
+    from ..data.sampling import sample_surface_points
+
+    p1, n1 = sample_surface_points(mesh, n_samples, seed=seeds[0])
+    p2, n2 = sample_surface_points(mesh, n_samples, seed=seeds[1])
+    return chamfer_distance(p1, p2, n1, n2, norm=norm)

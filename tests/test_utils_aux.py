@@ -226,3 +226,33 @@ class TestMultiDevice:
         np.testing.assert_allclose(
             np.asarray(ev_sharded.hess), np.asarray(ev_single.hess), atol=1e-3
         )
+
+
+class TestProtocolFloor:
+    def test_floor_positive_and_small_on_sphere(self):
+        from diffudf_tpu.data.mesh_io import Mesh
+        from diffudf_tpu.eval.chamfer import protocol_floor
+
+        # coarse UV sphere: the floor must be positive (finite sampling)
+        # yet far below typical reconstruction scores at this density
+        import numpy as np
+
+        nu, nv, r = 48, 24, 0.7
+        u = np.linspace(0, 2 * np.pi, nu, endpoint=False)
+        v = np.linspace(1e-3, np.pi - 1e-3, nv)
+        uu, vv = np.meshgrid(u, v, indexing="ij")
+        verts = np.stack([
+            r * np.sin(vv) * np.cos(uu),
+            r * np.sin(vv) * np.sin(uu),
+            r * np.cos(vv),
+        ], -1).reshape(-1, 3)
+        faces = []
+        for i in range(nu):
+            for j in range(nv - 1):
+                a, b = i * nv + j, ((i + 1) % nu) * nv + j
+                faces.append([a, b, a + 1])
+                faces.append([b, b + 1, a + 1])
+        mesh = Mesh(verts.astype(np.float32), np.asarray(faces))
+        cd, nc = protocol_floor(mesh, n_samples=5000)
+        assert 0 < cd < 0.1
+        assert 0 < nc < 0.05
