@@ -24,11 +24,9 @@ import numpy as np
 def main():
     import jax
 
-    import os
+    from diffudf_tpu.utils.cache import enable_compilation_cache
 
-    cache_dir = os.path.expanduser("~/.cache/jax_compilation")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    enable_compilation_cache()
 
     from diffudf_tpu.config import TrainConfig
     from diffudf_tpu.data.sampling import TrainingSampler

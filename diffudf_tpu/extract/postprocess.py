@@ -24,6 +24,8 @@ def _unique_rows(keys):
     Representatives are the group's first row in sorted order (duplicate
     rows are exactly equal, so any representative is equivalent).
     """
+    if len(keys) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
     order = np.lexsort(keys.T[::-1])
     sk = keys[order]
     new = np.empty(len(keys), bool)

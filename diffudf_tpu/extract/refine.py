@@ -71,9 +71,14 @@ def refine_vertices(
     max_move = np.float32(max_move_voxels * voxel)
     v = np.asarray(verts, np.float32)
     n = len(v)
-    pad = (-n) % tile
-    if pad:
-        v = np.concatenate([v, np.zeros((pad, 3), np.float32)])
+    # pad to a power-of-4 bucket of ``tile``: every distinct padded length
+    # is a fresh XLA compile (20-40 s remote), so meshes of different sizes
+    # must share a small executable set
+    cap = tile
+    while cap < n:
+        cap *= 4
+    if cap > n:
+        v = np.concatenate([v, np.zeros((cap - n, 3), np.float32)])
     out = _refine(
         params, spec, jnp.asarray(v), gt_mode=gt_mode, alpha=alpha,
         steps=steps, max_move=max_move,

@@ -200,9 +200,10 @@ static inline int mask_bit(int c) {
 enum Result { NO_CUBE, NO_FACES, EMITTED, DEFER_UNSURE, DEFER_NT, NO_SUPPORT };
 
 // Process one cube.
-//   probe:        compute provisional signs only; never commit/emit/defer.
-//   allow_defer:  unsure/non-trivial deferral allowed (full BFS mode).
-//   seed:         raster-scan seed — emit unconditionally.
+//   probe:  compute provisional signs only; never commit/emit/defer.
+//   seed:   raster-scan seed — emit unconditionally.
+// Deferral (unsure / non-trivial) applies only when neither flag is set
+// and other work is pending (!main_q.empty()).
 static Result process_cube(Ctx& c, int64_t ci, int64_t cj, int64_t ck,
                            bool probe, bool seed) {
   const int64_t cell = (ci * (c.n1 - 1) + cj) * (c.n2 - 1) + ck;

@@ -274,7 +274,9 @@ def warmup_compacted(
                 fast=fast, use_pallas=_pallas_value_ok(spec),
                 relaxation=relaxation,
             )
-    jax.block_until_ready(t0)
+    from ..utils.timing import force_sync
+
+    force_sync(t0)  # block_until_ready returns early on the axon platform
 
 
 def gather_rows(arr, idx: np.ndarray, floor: int = 1024) -> np.ndarray:

@@ -175,3 +175,25 @@ class TestOrientationAndComponents:
         v2, f2 = remove_small_components(v, f, min_faces=30)
         assert len(f2) == len(faces)
         assert len(v2) == len(verts)
+
+
+class TestCleanupEdgeCases:
+    def test_clean_mesh_all_degenerate(self):
+        from diffudf_tpu.extract.postprocess import clean_mesh
+
+        # every face degenerate -> must degrade to an empty mesh, not crash
+        verts = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+        faces = np.array([[0, 0, 1], [1, 1, 0]])
+        v, f = clean_mesh(verts, faces)
+        assert len(f) == 0
+
+    def test_clean_mesh_duplicate_collapse_to_empty(self):
+        from diffudf_tpu.extract.postprocess import clean_mesh
+
+        # vertices that merge under the 1e-8 rounding key can degenerate a
+        # face; cleanup must survive the collapse
+        eps = 1e-12
+        verts = np.array([[0.0, 0.0, 0.0], [eps, 0.0, 0.0], [0.0, eps, 0.0]])
+        faces = np.array([[0, 1, 2]])
+        v, f = clean_mesh(verts, faces)
+        assert len(f) == 0
