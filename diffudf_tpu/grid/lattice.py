@@ -95,7 +95,51 @@ def _decode_points(idx, N: int):
     return -1.0 + h * jnp.stack([i, j, k], axis=-1).astype(jnp.float32)
 
 
+@partial(jax.jit, static_argnames=("Nc", "s", "N", "cap"))
+def _active_indices_device(ud_c, thresh, Nc: int, s: int, N: int, cap: int):
+    """Recompute the active-band vertex indices ON DEVICE (ascending).
+
+    The host derives the same index list from its copy of the coarse
+    values; recomputing on device (8 shifted mins + repeat + a stable
+    argsort of the mask) means no multi-MB index upload crosses the
+    tunnel.  The first M entries of the stable argsort are exactly
+    ``np.flatnonzero(vmask)`` — ascending original order among equal keys.
+    """
+    u = ud_c.reshape(Nc, Nc, Nc)
+    cmin = u[:-1, :-1, :-1]
+    for di, dj, dk in _CORNERS[1:]:
+        cmin = jnp.minimum(
+            cmin, u[di : di + Nc - 1, dj : dj + Nc - 1, dk : dk + Nc - 1]
+        )
+    active = cmin <= thresh
+    cell = jnp.repeat(jnp.repeat(jnp.repeat(active, s, 0), s, 1), s, 2)
+    vmask = jnp.zeros((N, N, N), bool)
+    for di, dj, dk in _CORNERS:
+        vmask = vmask.at[di : di + N - 1, dj : dj + N - 1, dk : dk + N - 1].set(
+            vmask[di : di + N - 1, dj : dj + N - 1, dk : dk + N - 1] | cell
+        )
+    order = jnp.argsort(~vmask.ravel(), stable=True)
+    return order[:cap].astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cap2",))
+def _select_indices_device(idx_dev, ud_v, m, band, cap2: int):
+    """Device-side stage-3 selection: indices whose exact value is in the
+    dirs band, ascending — matching the host's ``idx[sel]`` order."""
+    valid = (jnp.arange(idx_dev.shape[0]) < m) & (ud_v <= band)
+    order = jnp.argsort(~valid, stable=True)
+    return idx_dev[order[:cap2]]
+
+
 _CORNERS = [(di, dj, dk) for di in (0, 1) for dj in (0, 1) for dk in (0, 1)]
+
+
+def _bucket_cap(m: int, floor: int = 4096) -> int:
+    """Smallest power-of-4 bucket ≥ m (shape-bucketing, see gather_rows)."""
+    cap = floor
+    while cap < m:
+        cap *= 4
+    return cap
 
 
 def extract_fields_sparse(
@@ -157,8 +201,8 @@ def extract_fields_sparse(
     Nc = (N - 1) // s + 1
     # stage 1: coarse sub-lattice values (coincides with the fine lattice)
     evc = evaluate_field(params, spec, lattice_points(Nc), tile=tile, mesh=mesh)
-    ud_c = np.asarray(inverse_map(gt_mode, jnp.abs(evc.f), alpha), np.float32)
-    ud_c = ud_c.reshape(Nc, Nc, Nc)
+    ud_c_dev = inverse_map(gt_mode, jnp.abs(evc.f), alpha)
+    ud_c = np.asarray(ud_c_dev, np.float32).reshape(Nc, Nc, Nc)
 
     # CAP's cell gate is *absolute* (min corner < 0.008, ``render_mc.py:213``)
     # and reads corner dirs up to √3·h beyond it; at very fine grids that
@@ -184,29 +228,48 @@ def extract_fields_sparse(
         )
         return np.asarray(udf), np.asarray(dirs)
 
-    # stage 2: exact values at every vertex of an active block
+    # stage 2: exact values at every vertex of an active block.  The host
+    # derives the index list from its coarse copy for the final scatter;
+    # the device recomputes the identical list from its own coarse values
+    # (no multi-MB index upload), padded to power-of-4 buckets so band
+    # sizes that vary per shape/resolution share a small executable set.
     cell_active = active.repeat(s, 0).repeat(s, 1).repeat(s, 2)  # (N-1)³
     vmask = np.zeros((N, N, N), bool)
     for di, dj, dk in _CORNERS:
         vmask[di : di + N - 1, dj : dj + N - 1, dk : dk + N - 1] |= cell_active
     idx = np.flatnonzero(vmask.ravel()).astype(np.int32)
-    pts = _decode_points(jnp.asarray(idx), N)
-    ev_v = evaluate_field(params, spec, pts, tile=tile, mesh=mesh)
-    ud_v = np.asarray(inverse_map(gt_mode, jnp.abs(ev_v.f), alpha), np.float32)
+    cap = _bucket_cap(len(idx))
+    idx_dev = _active_indices_device(
+        ud_c_dev, jnp.float32(band + margin), Nc, s, N, cap
+    )
+    ud_v_dev = inverse_map(
+        gt_mode,
+        jnp.abs(
+            evaluate_field(
+                params, spec, _decode_points(idx_dev, N), tile=tile, mesh=mesh
+            ).f
+        ),
+        alpha,
+    )
+    ud_v = np.asarray(ud_v_dev, np.float32)[: len(idx)]
 
     # stage 3: directions only where the exact value needs them
     sel = ud_v <= dirs_band
     dirs_flat = np.zeros((N * N * N, 3), np.float32)
     idx2 = idx[sel]
     if idx2.size:
+        idx2_dev = _select_indices_device(
+            idx_dev, ud_v_dev, jnp.int32(len(idx)), jnp.float32(dirs_band),
+            _bucket_cap(len(idx2)),
+        )
         ev2 = evaluate_field(
-            params, spec, _decode_points(jnp.asarray(idx2), N),
+            params, spec, _decode_points(idx2_dev, N),
             want_grad=True, want_hess=True, tile=tile, mesh=mesh,
             deriv_dtype=deriv_dtype,
         )
         dirs_flat[idx2] = np.asarray(
             direction_field(ev2.grad, ev2.hess), np.float32
-        )
+        )[: len(idx2)]
 
     udf_flat = np.full(N * N * N, background, np.float32)
     udf_flat[idx] = ud_v
