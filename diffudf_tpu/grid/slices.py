@@ -112,6 +112,7 @@ def render_slice_figure(
     fig.subplots_adjust(right=0.8)
     cbar_ax = fig.add_axes([0.85, 0.15, 0.05, 0.7])
     fig.colorbar(pos, cax=cbar_ax)
+    os.makedirs(output_dir, exist_ok=True)
     fig.savefig(os.path.join(output_dir, "distance_fields.png"))
     plt.close(fig)
 
