@@ -79,6 +79,10 @@ def create_projectional_image(
             max_iterations=rendering_config.get("max_iterations", 100),
             relaxation=rendering_config.get("relaxation", 1.0),
             return_device=True,
+            # one-shot CLI: the XLA march compiles once ever (persistent
+            # cache); the Pallas kernel would recompile per bucket (~1 min
+            # each, cache-bypassing) and dominate a cold render
+            use_pallas=rendering_config.get("use_pallas", False),
         )
     gd_steps = rendering_config.get("gd_steps", 0)
     if gd_steps:
@@ -124,6 +128,8 @@ def create_projectional_image(
     attrs = hit_attributes(
         params, spec, jnp.asarray(padded),
         curvature_mode=curvature_mode if curvature_mode in ("mean", "gaussian") else "none",
+        # one-shot CLI: XLA path compiles once ever (see trace call above)
+        use_pallas=rendering_config.get("use_pallas", False),
     )
     normals = np.asarray(attrs["normals"])[:n_real]
     pc1 = np.asarray(attrs["pc1"])[:n_real]

@@ -104,18 +104,28 @@ def evaluate_field(
     tile: int = 8192,
     mesh=None,
     deriv_dtype=None,
+    use_pallas: bool | None = None,
 ) -> FieldEval:
     """Evaluate f (+ ∇f, H) at (Q, 3) points, tiled and optionally sharded.
 
     Host-level entry: pads Q up to tile·n_devices, shards the query axis
     across ``mesh`` when given, runs the compiled tile map, slices padding
     off.  Results stay on device.
+
+    ``use_pallas``: None auto-selects the fused Pallas kernel on TPU
+    (fastest for big grids, but its remote compile bypasses the persistent
+    cache — ~1 min per fresh process); False forces the XLA tile map,
+    which compiles once ever (persistent cache) — right for small one-shot
+    queries like render hit batches.
     """
     points = jnp.asarray(points, jnp.float32)
     q = points.shape[0]
     n_dev = 1 if mesh is None else mesh.size
 
-    if (mesh is None or mesh.size == 1) and _pallas_ok(spec, want_hess):
+    pallas_ok = _pallas_ok(spec, want_hess) if use_pallas is None else (
+        use_pallas and _pallas_ok(spec, want_hess)
+    )
+    if (mesh is None or mesh.size == 1) and pallas_ok:
         # fused Pallas kernel, host-looped over fixed-size slabs (one
         # compile; very large single grids overflow the TPU compiler)
         from .pallas_vgh import vgh_pallas

@@ -314,6 +314,7 @@ def trace_rays_compacted(
     relaxation: float = 1.0,
     pipeline_below: float = 0.0,
     return_device: bool = False,
+    use_pallas: bool | None = None,
 ):
     """March with periodic *on-device* active-ray compaction.
 
@@ -333,6 +334,12 @@ def trace_rays_compacted(
     fraction drops below it (a stale count is still a valid bucket bound
     because the active set only shrinks); with fused rounds the blocking
     read is usually just as fast, so the default stays synchronous.
+
+    ``use_pallas``: None (default) auto-selects the Pallas value kernel on
+    TPU — fastest warm, but every (bucket, segment) round is a fresh
+    remote compile that bypasses the persistent cache (~1 min each).
+    One-shot callers (the ST CLI) pass False: the XLA march is ~2-3×
+    slower per eval but compiles once ever thanks to the persistent cache.
 
     Same contract/result as :func:`trace_rays`; returns numpy
     (positions, hits, iterations) — or device arrays with
@@ -389,7 +396,10 @@ def trace_rays_compacted(
             gt_mode=gt_mode, alpha=alpha,
             surface_threshold=surface_threshold, bucket=bucket,
             segment=min(segment, max_iterations - it), fast=fast,
-            use_pallas=_pallas_value_ok(spec), relaxation=relaxation,
+            use_pallas=(
+                _pallas_value_ok(spec) if use_pallas is None else use_pallas
+            ),
+            relaxation=relaxation,
         )
         it += segment
         if count > n * pipeline_below:
@@ -436,7 +446,7 @@ def _normal_field(params, spec, x):
     return vecs[..., 2]
 
 
-@partial(jax.jit, static_argnames=("spec", "curvature_mode", "tile"))
+@partial(jax.jit, static_argnames=("spec", "curvature_mode", "tile", "use_pallas"))
 def hit_attributes(
     params,
     spec: SirenSpec,
@@ -444,6 +454,7 @@ def hit_attributes(
     *,
     curvature_mode: str = "none",  # 'none' | 'mean' | 'gaussian'
     tile: int = 4096,
+    use_pallas: bool | None = None,
 ):
     """-> dict with normals (N,3), pc1 (N,3), pc2 (N,3) [, curvature (N,)].
 
@@ -459,7 +470,8 @@ def hit_attributes(
         # fast path: fused (pallas-backed on TPU) Hessian eval + eigh
         from ..ops.evaluate import evaluate_field
 
-        ev = evaluate_field(params, spec, positions, want_hess=True, tile=tile)
+        ev = evaluate_field(params, spec, positions, want_hess=True, tile=tile,
+                            use_pallas=use_pallas)
         _, vecs = eigh3x3(ev.hess)
         return {
             "normals": vecs[..., 2],
