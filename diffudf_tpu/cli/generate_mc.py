@@ -31,7 +31,7 @@ VALID_ALGORITHMS = ("meshudf", "cap", "both", "siren")
 
 def run_mc(params, spec, gt_mode, N, output_path, alpha=None, algorithm="meshudf",
            mesh=None, triangulator=None, sparse=True, refine_steps=0,
-           taubin_iters=0):
+           taubin_iters=0, use_pallas=None):
     """Extract and save mesh(es); returns Mesh or (meshMU, meshCAP).
 
     triangulator: "mc33" (default) or "tets" — see extract.triangulate.
@@ -81,6 +81,11 @@ def run_mc(params, spec, gt_mode, N, output_path, alpha=None, algorithm="meshudf
     udf, dirs = extract_fields_sparse(
         params, spec, N, gt_mode, alpha, mesh=mesh,
         coarse_stride=None if sparse else 1,
+        # None = auto (Pallas on TPU): fastest warm and amortised across
+        # shapes in one process, but its remote compile bypasses the
+        # persistent cache (~1 min/process); config "use_pallas": false
+        # for repeated one-shot CLI invocations
+        use_pallas=use_pallas,
     )
 
     if algorithm == "cap":
@@ -157,6 +162,7 @@ def main(argv=None):
         sparse=cfg.get("sparse_grid", True),
         refine_steps=cfg.get("refine_vertices", 0),
         taubin_iters=cfg.get("taubin_iters", 0),
+        use_pallas=cfg.get("use_pallas"),
     )
 
 

@@ -64,6 +64,7 @@ def extract_fields(
     mesh=None,
     tile: int = 8192,
     deriv_dtype=jnp.bfloat16,
+    use_pallas=None,
 ):
     """-> (udf (N, N, N) f32, dirs (N, N, N, 3) f32), both on device.
 
@@ -74,7 +75,7 @@ def extract_fields(
     pts = lattice_points(N)
     ev = evaluate_field(
         params, spec, pts, want_grad=True, want_hess=True, tile=tile, mesh=mesh,
-        deriv_dtype=deriv_dtype,
+        deriv_dtype=deriv_dtype, use_pallas=use_pallas,
     )
     udf = inverse_map(gt_mode, jnp.abs(ev.f), alpha)
     dirs = direction_field(ev.grad, ev.hess)
@@ -156,6 +157,7 @@ def extract_fields_sparse(
     dirs_band_voxels: float = 3.5,
     coarse_stride: int | None = None,
     safety: float = 1.5,
+    use_pallas=None,
 ):
     """Hierarchical (coarse → band-refined) field extraction → host numpy.
 
@@ -194,7 +196,7 @@ def extract_fields_sparse(
     if not s or s == 1:
         udf, dirs = extract_fields(
             params, spec, N, gt_mode, alpha, mesh=mesh, tile=tile,
-            deriv_dtype=deriv_dtype,
+            deriv_dtype=deriv_dtype, use_pallas=use_pallas,
         )
         return np.asarray(udf), np.asarray(dirs)
 
@@ -224,7 +226,7 @@ def extract_fields_sparse(
         # no surface found at coarse scale — degenerate field; stay exact
         udf, dirs = extract_fields(
             params, spec, N, gt_mode, alpha, mesh=mesh, tile=tile,
-            deriv_dtype=deriv_dtype,
+            deriv_dtype=deriv_dtype, use_pallas=use_pallas,
         )
         return np.asarray(udf), np.asarray(dirs)
 
@@ -265,7 +267,7 @@ def extract_fields_sparse(
         ev2 = evaluate_field(
             params, spec, _decode_points(idx2_dev, N),
             want_grad=True, want_hess=True, tile=tile, mesh=mesh,
-            deriv_dtype=deriv_dtype,
+            deriv_dtype=deriv_dtype, use_pallas=use_pallas,
         )
         dirs_flat[idx2] = np.asarray(
             direction_field(ev2.grad, ev2.hess), np.float32
