@@ -372,7 +372,26 @@ def extract_mesh_meshudf(
     voxel = 2.0 / (N - 1)
 
     if signing == "bfs":
-        from ..native import udf_mc as native
+        try:
+            from ..native import udf_mc as native
+        except Exception as exc:  # no toolchain / missing build
+            import warnings
+
+            warnings.warn(
+                f"native udf_mc module unavailable ({exc}); falling back to "
+                f"signing='mst' (pure scipy, same-quality class). Build the "
+                f"native module with a C++ toolchain for the reference BFS "
+                f"semantics.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return extract_mesh_meshudf(
+                udf, dirs,
+                smooth_borders_enabled=smooth_borders_enabled,
+                avg_thresh=avg_thresh, max_thresh=max_thresh,
+                max_face_dist_voxels=max_face_dist_voxels,
+                triangulator=triangulator, signing="mst",
+            )
 
         signs, emit = native.vote_bfs(
             udf, dirs, voxel, avg_thresh=avg_thresh, max_thresh=max_thresh

@@ -212,7 +212,13 @@ def extract_fields_sparse(
     dirs_band = max(dirs_band_voxels * h, 0.008 + 1.9 * h)
     band = max(band_voxels * h, dirs_band + 0.5 * h)
     margin = safety * (s * h * np.sqrt(3.0) / 2.0) + 2.0 * h
-    background = np.float32(band + margin)
+    # host and device MUST compare against bit-identical f32 thresholds:
+    # the host numpy masks decide scatter positions for device-computed
+    # index lists, so a value in the f32 rounding window of a float64
+    # threshold would silently misalign every later scatter
+    band_thresh = np.float32(band + margin)
+    dirs_thresh = np.float32(dirs_band)
+    background = band_thresh
 
     cmin = ud_c[:-1, :-1, :-1].copy()
     for di, dj, dk in _CORNERS[1:]:
@@ -221,7 +227,7 @@ def extract_fields_sparse(
             ud_c[di : di + Nc - 1, dj : dj + Nc - 1, dk : dk + Nc - 1],
             out=cmin,
         )
-    active = cmin <= band + margin  # (Nc-1,)³ surface-possible blocks
+    active = cmin <= band_thresh  # (Nc-1,)³ surface-possible blocks
     if not active.any():
         # no surface found at coarse scale — degenerate field; stay exact
         udf, dirs = extract_fields(
@@ -242,7 +248,7 @@ def extract_fields_sparse(
     idx = np.flatnonzero(vmask.ravel()).astype(np.int32)
     cap = _bucket_cap(len(idx))
     idx_dev = _active_indices_device(
-        ud_c_dev, jnp.float32(band + margin), Nc, s, N, cap
+        ud_c_dev, jnp.asarray(band_thresh), Nc, s, N, cap
     )
     ud_v_dev = inverse_map(
         gt_mode,
@@ -256,12 +262,12 @@ def extract_fields_sparse(
     ud_v = np.asarray(ud_v_dev, np.float32)[: len(idx)]
 
     # stage 3: directions only where the exact value needs them
-    sel = ud_v <= dirs_band
+    sel = ud_v <= dirs_thresh
     dirs_flat = np.zeros((N * N * N, 3), np.float32)
     idx2 = idx[sel]
     if idx2.size:
         idx2_dev = _select_indices_device(
-            idx_dev, ud_v_dev, jnp.int32(len(idx)), jnp.float32(dirs_band),
+            idx_dev, ud_v_dev, jnp.int32(len(idx)), jnp.asarray(dirs_thresh),
             _bucket_cap(len(idx2)),
         )
         ev2 = evaluate_field(

@@ -28,6 +28,17 @@ class ScalarLogger:
                 os.makedirs(summary_path, exist_ok=True)
                 self._writer = SummaryWriter(summary_path)
             except Exception:
+                # TensorBoard needs torch + tensorboard (the `logging`
+                # extra in pyproject.toml); CSV logging keeps working
+                import warnings
+
+                warnings.warn(
+                    "TensorBoard logging requested but unavailable "
+                    "(install the 'logging' extra: pip install "
+                    "diffudf-tpu[logging]); falling back to CSV only.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
                 self._writer = None
 
     def log_array(self, name: str, start_step: int, values):

@@ -104,6 +104,25 @@ class TestMeshUDFExtraction:
         with pytest.raises(ValueError):
             extract_mesh_meshudf(udf, dirs)
 
+    def test_bfs_falls_back_to_mst_without_native(self, monkeypatch):
+        """Default extraction must degrade gracefully on a g++-less box."""
+        import sys
+
+        import diffudf_tpu.native as native_pkg
+
+        monkeypatch.delattr(native_pkg, "udf_mc", raising=False)
+        monkeypatch.setitem(sys.modules, "diffudf_tpu.native.udf_mc", None)
+
+        N = 32
+        udf, dirs = sphere_udf(N)
+        with pytest.warns(RuntimeWarning, match="falling back"):
+            verts, faces = extract_mesh_meshudf(
+                udf, dirs, signing="bfs", smooth_borders_enabled=False
+            )
+        assert len(faces) > 100
+        r = np.linalg.norm(verts, axis=1)
+        assert np.abs(r - 0.6).max() < 1.5 * (2 / (N - 1))
+
 
 def patch_udf(N, half=0.5):
     """UDF of an open square patch z=0, |x|,|y| <= half — the open-sheet

@@ -121,9 +121,9 @@ class TestSparseFields:
 
     def test_prime_resolution_falls_back_dense(self, trained_sphere):
         params, spec, r, alpha = trained_sphere
-        # N-1 = 22 = 2·11: only stride 2 divides, but 22//2=11 ≥ 8 fails →
-        # fallback must return the dense fields unchanged
-        N = 24  # N-1 = 23 prime → no stride divides → dense
+        # N-1 = 23 is prime: no candidate stride divides it, so the sparse
+        # path must fall back to returning the dense fields unchanged
+        N = 24
         udf_s, dirs_s = extract_fields_sparse(params, spec, N, "tanh", alpha)
         udf_d, dirs_d = extract_fields(params, spec, N, "tanh", alpha)
         np.testing.assert_allclose(udf_s, np.asarray(udf_d), atol=1e-6)
