@@ -63,12 +63,12 @@ def main():
     # (a device->host read) is the only reliable completion barrier on
     # the axon platform — block_until_ready returns early there
     warm_idx = jnp.arange(0, n_steps, dtype=jnp.int32)
-    state, _ = chunk(state, warm_idx)
+    state, _ = chunk(state, sampler, warm_idx)
     force_sync(state.params)
 
     idx = jnp.arange(n_steps, 2 * n_steps, dtype=jnp.int32)
     t0 = time.perf_counter()
-    state, logs = chunk(state, idx)
+    state, logs = chunk(state, sampler, idx)
     force_sync(state.params)
     dt = time.perf_counter() - t0
 

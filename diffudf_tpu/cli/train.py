@@ -21,7 +21,11 @@ import numpy as np
 
 from ..config import TrainConfig
 from ..data.mesh_io import load_mesh, load_point_cloud, save_mesh, Mesh
-from ..data.mesh_distance import point_cloud_distance, point_triangle_distance, triangles_from_mesh
+from ..data.mesh_distance import (
+    point_cloud_distance,
+    point_triangle_distance_pruned,
+    triangles_from_mesh,
+)
 from ..data.sampling import TrainingSampler
 from ..grid.slices import plane_samples, predicted_slice, render_slice_figure
 from ..train.loop import Trainer
@@ -51,7 +55,9 @@ def gt_plane_distances(cfg: TrainConfig, pc, mesh, width: int) -> np.ndarray:
     """Unsigned GT distances on the x=0 slice plane (for the figure)."""
     samples = plane_samples(width)
     if mesh is not None:
-        d = point_triangle_distance(samples, triangles_from_mesh(mesh.vertices, mesh.faces))
+        d = point_triangle_distance_pruned(
+            samples, triangles_from_mesh(mesh.vertices, mesh.faces)
+        )
     else:
         # pc mode: reference uses a KDTree over the full normalized cloud
         # (generate_df.py:205-206); brute-force on device here

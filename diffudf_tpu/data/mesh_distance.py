@@ -146,6 +146,73 @@ def point_triangle_distance(queries: jax.Array, tri_verts: jax.Array, tile: int 
     return out.reshape(qn)
 
 
+def triangle_bounds(tri_verts: jax.Array):
+    """(T, 3, 3) -> (centroids (T, 3), radii (T,)) bounding spheres."""
+    c = tri_verts.mean(axis=1)
+    r = jnp.sqrt(
+        jnp.max(jnp.sum((tri_verts - c[:, None, :]) ** 2, axis=-1), axis=1)
+    )
+    return c, r
+
+
+def point_triangle_distance_pruned(
+    queries: jax.Array,
+    tri_verts: jax.Array,
+    centroids: jax.Array | None = None,
+    radii: jax.Array | None = None,
+    k: int = 64,
+    tile: int = 1024,
+):
+    """Unsigned distance to a triangle soup via candidate pruning.
+
+    The brute-force sweep (:func:`point_triangle_distance`) runs the ~60-op
+    closest-point construction on every (query, triangle) pair — O(Q·T)
+    heavy VPU work that dominated mesh-mode training (0.5G pair tests per
+    step on a 24k-triangle mesh).  Here the pair work is split:
+
+      1. a cheap MXU matmul gives each query its distance to every triangle
+         *centroid*; ``max(d_centroid − r_tri, 0)`` lower-bounds the true
+         triangle distance;
+      2. ``lax.top_k`` keeps the ``k`` smallest lower bounds per query;
+      3. the exact closest-point test runs only on those k candidates.
+
+    Exact whenever the true nearest triangle is among the k best lower
+    bounds — guaranteed by construction when k ≥ the number of triangles
+    whose bounding sphere overlaps the nearest-candidate distance, which
+    k=64 satisfies by orders of magnitude on preprocessed meshes
+    (validated against the brute force in ``tests/test_data.py``).
+    """
+    T = tri_verts.shape[0]
+    if T <= k:
+        return point_triangle_distance(queries, tri_verts, tile=256)
+    if centroids is None or radii is None:
+        centroids, radii = triangle_bounds(tri_verts)
+    c_sq = jnp.sum(centroids * centroids, axis=1)
+
+    def one_tile(q):
+        cross = q @ centroids.T  # (Tq, T) MXU
+        d2c = jnp.maximum(c_sq[None, :] - 2.0 * cross + jnp.sum(q * q, axis=1)[:, None], 0.0)
+        lb = jnp.sqrt(d2c) - radii[None, :]
+        _, idx = lax.top_k(-lb, k)  # (Tq, k) smallest lower bounds
+        cand = tri_verts[idx]  # (Tq, k, 3, 3)
+        d2 = _closest_point_sq_dist(
+            q[:, None, :], cand[:, :, 0], cand[:, :, 1], cand[:, :, 2]
+        )
+        return jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0))
+
+    qn = queries.shape[0]
+    if qn <= tile:
+        return one_tile(queries)
+    if qn % tile:
+        pad = tile - qn % tile
+        padded = jnp.concatenate([queries, jnp.zeros((pad, 3), queries.dtype)])
+        return point_triangle_distance_pruned(
+            padded, tri_verts, centroids, radii, k, tile
+        )[:qn]
+    tiles = queries.reshape(qn // tile, tile, 3)
+    return lax.map(one_tile, tiles).reshape(qn)
+
+
 def winding_number(queries: jax.Array, tri_verts: jax.Array, tile: int = 256):
     """Generalised winding number of each query wrt the mesh (≈1 inside,
     ≈0 outside for watertight meshes).  Solid-angle sum per triangle

@@ -11,9 +11,10 @@ Batch layout matches the reference contract exactly
 (``src/dataset.py:54-70``): rows = [on-surface | far-uniform | near-surface],
 normals zero off-surface, sdf column = [0 | oracle(far) | near-offsets].
 
-  * far points: uniform in [-1,1]³, GT = signed mesh distance (mesh oracle,
-    ``dataset.py:35``) or unsigned nearest-point distance (pc oracle,
-    ``dataset.py:103``)
+  * far points: uniform in [-1,1]³, GT = pruned exact point-triangle
+    distance (mesh oracle; unsigned — see the documented sign deviation in
+    ``TrainingSampler.sample``, reference ``dataset.py:35``) or unsigned
+    nearest-point distance (pc oracle, ``dataset.py:103``)
   * near points: surface point + normal · N(0, 0.01) (scalar per point);
     GT = oracle (mesh) or |offset| (pc, ``dataset.py:109-111``)
 """
@@ -26,7 +27,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .mesh_distance import point_cloud_distance, signed_mesh_distance
+from .mesh_distance import (
+    point_cloud_distance,
+    point_triangle_distance_pruned,
+    triangle_bounds,
+)
 
 
 def sample_surface_points(mesh, n: int, seed: int = 123):
@@ -88,6 +93,8 @@ class TrainingSampler:
     surface_normals: jax.Array  # (N, 3) f32
     static: SamplerStatic
     tri_verts: jax.Array | None = None  # (T, 3, 3) for the mesh oracle
+    tri_centroids: jax.Array | None = None  # (T, 3) pruning bounds
+    tri_radii: jax.Array | None = None  # (T,)
 
     @classmethod
     def from_point_cloud(cls, points, normals, batch_size, percentiles, stddev=0.01):
@@ -99,13 +106,28 @@ class TrainingSampler:
         )
 
     @classmethod
-    def from_mesh(cls, points, normals, tri_verts, batch_size, percentiles, stddev=0.01):
+    def from_mesh(cls, points, normals, tri_verts, batch_size, percentiles,
+                  stddev=0.01, pad_triangles: bool = True):
+        """``pad_triangles`` pads the triangle count to the next power of
+        two with degenerate far-away triangles (distance ≥ 10, pruned-out
+        lower bounds), so meshes with different face counts share one
+        compiled train step (and one persistent-cache entry)."""
         sizes = BatchSizes.from_config(batch_size, percentiles)
+        tv = np.asarray(tri_verts, np.float32)
+        if pad_triangles and len(tv):
+            t_pad = 1 << max(6, (len(tv) - 1).bit_length())
+            if t_pad > len(tv):
+                far = np.full((t_pad - len(tv), 3, 3), 11.0, np.float32)
+                tv = np.concatenate([tv, far])
+        tvd = jnp.asarray(tv)
+        cen, rad = triangle_bounds(tvd)
         return cls(
             surface_points=jnp.asarray(points, jnp.float32),
             surface_normals=jnp.asarray(normals, jnp.float32),
             static=SamplerStatic(sizes, "mesh", stddev),
-            tri_verts=jnp.asarray(tri_verts, jnp.float32),
+            tri_verts=tvd,
+            tri_centroids=cen,
+            tri_radii=rad,
         )
 
     def local(self, n_devices: int) -> "TrainingSampler":
@@ -155,8 +177,20 @@ class TrainingSampler:
         near_pts = base_pts + base_nrm * offset
 
         if self.static.oracle == "mesh":
-            far_sdf = signed_mesh_distance(far_pts, self.tri_verts)
-            near_sdf = signed_mesh_distance(near_pts, self.tri_verts)
+            # UNSIGNED distance (documented deviation): the reference feeds
+            # Open3D *signed* distances here (``dataset.py:35,50``), but no
+            # shipping loss ever reads the sign — every tanh-mode term is
+            # even in the GT distance (``train/losses.py:98-118``: d·tanh(αd)
+            # and |tanh + αd·sech²| are even) and the siren loss only tests
+            # d == 0 (``train/losses.py:159-166``).  Dropping the sign lets
+            # the oracle skip the O(Q·T) generalized-winding sweep and use
+            # the pruned top-k closest-point kernel.
+            far_sdf = point_triangle_distance_pruned(
+                far_pts, self.tri_verts, self.tri_centroids, self.tri_radii
+            )
+            near_sdf = point_triangle_distance_pruned(
+                near_pts, self.tri_verts, self.tri_centroids, self.tri_radii
+            )
         else:
             far_sdf = point_cloud_distance(far_pts, self.surface_points)
             near_sdf = jnp.abs(offset)[:, 0]
@@ -173,6 +207,7 @@ class TrainingSampler:
 
 jax.tree_util.register_dataclass(
     TrainingSampler,
-    data_fields=["surface_points", "surface_normals", "tri_verts"],
+    data_fields=["surface_points", "surface_normals", "tri_verts",
+                 "tri_centroids", "tri_radii"],
     meta_fields=["static"],
 )

@@ -161,6 +161,20 @@ class Trainer:
     # --- compiled chunk ------------------------------------------------------
 
     def _build_chunk_fn(self, stage: str):
+        """Compiled chunk: ``fn(state, sampler, epoch_indices) -> (state, logs)``.
+
+        Two properties keep the whole run at ~one XLA compile per stage:
+
+          * ``epoch_indices`` always has the same (padded) length — entries
+            of ``-1`` are masked no-ops (state passes through, logs are
+            NaN), so stage/checkpoint boundaries never mint new scan
+            lengths (each one used to cost a fresh 20-40 s remote compile);
+          * the sampler is an *argument* (arrays are runtime inputs), not a
+            closure constant — the traced HLO is byte-identical across
+            shapes with the same batch/cloud/triangle sizes, so the
+            persistent compilation cache carries compiles across a whole
+            ``cli.quantitative`` dataset sweep.
+        """
         mesh = self.mesh
         batches = self.cfg.batches_per_epoch
 
@@ -180,14 +194,14 @@ class Trainer:
                 # (correct, but loses the split-Hessian fast path)
                 batch_step = self._build_constrained_batch_step(stage)
         if batch_step is None:
-            def batch_step(params_opt, key):
+            def batch_step(params_opt, sampler, key):
                 params, opt_state = params_opt
-                pts, nrm, sdf = self.sampler.sample(key)
+                pts, nrm, sdf = sampler.sample(key)
 
                 def total_loss(p):
                     terms = self._loss_terms(
                         stage, p, pts, nrm, sdf,
-                        n_surface=self.sampler.static.sizes.on_surface,
+                        n_surface=sampler.static.sizes.on_surface,
                     )
                     return sum(terms.values()), terms
 
@@ -196,41 +210,50 @@ class Trainer:
                 )(params)
                 return (params, opt_state, grads), (tot, terms)
 
-        def epoch_step(carry, epoch_idx):
-            state = carry
-            lr = self._lr(stage, epoch_idx)
+        def chunk(state: TrainState, sampler, epoch_indices: jax.Array):
+            def epoch_step(carry, epoch_idx):
+                state = carry
+                lr = self._lr(stage, epoch_idx)
 
-            def inner(acc, key):
-                params, opt_state, sums = acc
-                (params, opt_state, grads), (tot, terms) = batch_step(
-                    (params, opt_state), key
+                def inner(acc, key):
+                    params, opt_state, sums = acc
+                    (params, opt_state, grads), (tot, terms) = batch_step(
+                        (params, opt_state), sampler, key
+                    )
+                    updates, opt_state = self.optim.update(grads, opt_state, params)
+                    params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
+                    sums = jax.tree.map(lambda a, b: a + b, sums, {**terms, "total": tot})
+                    return (params, opt_state, sums), None
+
+                key, *subkeys = jax.random.split(state.key, batches + 1)
+                zero_sums = {
+                    **{k: jnp.zeros(()) for k in self._term_names(stage)},
+                    "total": jnp.zeros(()),
+                }
+                (params, opt_state, sums), _ = jax.lax.scan(
+                    inner,
+                    (state.params, state.opt_state, zero_sums),
+                    jnp.stack(subkeys),
                 )
-                updates, opt_state = self.optim.update(grads, opt_state, params)
-                params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
-                sums = jax.tree.map(lambda a, b: a + b, sums, {**terms, "total": tot})
-                return (params, opt_state, sums), None
+                epoch_loss = sums["total"] / batches
+                is_best = epoch_loss < state.best_loss
+                best_loss = jnp.where(is_best, epoch_loss, state.best_loss)
+                best_params = jax.tree.map(
+                    lambda new, old: jnp.where(is_best, new, old), params, state.best_params
+                )
+                new_state = TrainState(params, opt_state, best_loss, best_params, key)
+                logs = {**sums, "lr": lr, "epoch_loss": epoch_loss}
 
-            key, *subkeys = jax.random.split(state.key, batches + 1)
-            zero_sums = {
-                **{k: jnp.zeros(()) for k in self._term_names(stage)},
-                "total": jnp.zeros(()),
-            }
-            (params, opt_state, sums), _ = jax.lax.scan(
-                inner,
-                (state.params, state.opt_state, zero_sums),
-                jnp.stack(subkeys),
-            )
-            epoch_loss = sums["total"] / batches
-            is_best = epoch_loss < state.best_loss
-            best_loss = jnp.where(is_best, epoch_loss, state.best_loss)
-            best_params = jax.tree.map(
-                lambda new, old: jnp.where(is_best, new, old), params, state.best_params
-            )
-            new_state = TrainState(params, opt_state, best_loss, best_params, key)
-            logs = {**sums, "lr": lr, "epoch_loss": epoch_loss}
-            return new_state, logs
+                # padded epochs (idx < 0) are no-ops: state passes through
+                # untouched, logs are NaN.  They only occur when a stage or
+                # checkpoint boundary does not divide the chunk size.
+                valid = epoch_idx >= 0
+                new_state = jax.tree.map(
+                    lambda n, o: jnp.where(valid, n, o), new_state, state
+                )
+                logs = {k: jnp.where(valid, v, jnp.nan) for k, v in logs.items()}
+                return new_state, logs
 
-        def chunk(state: TrainState, epoch_indices: jax.Array):
             return jax.lax.scan(epoch_step, state, epoch_indices)
 
         return jax.jit(chunk, donate_argnums=(0,))
@@ -243,9 +266,9 @@ class Trainer:
 
         mesh = self.mesh
 
-        def batch_step(params_opt, key):
+        def batch_step(params_opt, sampler, key):
             params, opt_state = params_opt
-            pts, nrm, sdf = self.sampler.sample(key)
+            pts, nrm, sdf = sampler.sample(key)
             pts = shard_batch(pts, mesh)
             nrm = shard_batch(nrm, mesh)
             sdf = shard_batch(sdf, mesh)
@@ -260,6 +283,8 @@ class Trainer:
         return batch_step
 
     def _build_sharded_batch_step(self, stage: str):
+        import dataclasses as _dc
+
         from ..parallel.mesh import DATA_AXIS
 
         try:
@@ -269,10 +294,14 @@ class Trainer:
         from jax.sharding import PartitionSpec as P
 
         mesh = self.mesh
-        local_sampler = self.sampler.local(mesh.size)
-        n_surface_local = local_sampler.static.sizes.on_surface
+        # raises ValueError at build time if the batch groups don't divide
+        # the mesh; only the *static* metadata is kept (the arrays arrive
+        # as runtime arguments)
+        local_static = self.sampler.local(mesh.size).static
+        n_surface_local = local_static.sizes.on_surface
 
-        def local_terms(params, keys):
+        def local_terms(params, sampler, keys):
+            local_sampler = _dc.replace(sampler, static=local_static)
             pts, nrm, sdf = local_sampler.sample(keys[0])
             terms = self._loss_terms(stage, params, pts, nrm, sdf,
                                      n_surface=n_surface_local,
@@ -285,17 +314,17 @@ class Trainer:
 
         sharded_terms = shard_map(
             local_terms, mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS)), out_specs=P(),
+            in_specs=(P(), P(), P(DATA_AXIS)), out_specs=P(),
         )
 
-        def batch_step(params_opt, key):
+        def batch_step(params_opt, sampler, key):
             params, opt_state = params_opt
             keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
                 jnp.arange(mesh.size)
             )
 
             def total_loss(p):
-                terms = sharded_terms(p, keys)
+                terms = sharded_terms(p, sampler, keys)
                 return sum(terms.values()), terms
 
             (tot, terms), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
@@ -360,12 +389,17 @@ class Trainer:
         for lo, hi in edges:
             stage = self.stage_for_epoch(lo)
             fn = self.chunk_fn(stage)
-            idx = jnp.arange(lo, hi, dtype=jnp.int32)
+            # every chunk scans exactly `chunk_size` indices — short chunks
+            # (stage/checkpoint boundaries, final chunk) are padded with -1
+            # no-op epochs so one compiled executable serves every chunk of
+            # the stage
+            idx = np.full(chunk_size, -1, np.int32)
+            idx[: hi - lo] = np.arange(lo, hi, dtype=np.int32)
             t0 = time.perf_counter()
-            state, logs = fn(state, idx)
+            state, logs = fn(state, self.sampler, jnp.asarray(idx))
             jax.block_until_ready(state.params)
             train_time += time.perf_counter() - t0
-            logs = {k: np.asarray(v) for k, v in logs.items()}
+            logs = {k: np.asarray(v)[: hi - lo] for k, v in logs.items()}
             all_logs.append((lo, hi, logs))
             if callback is not None:
                 callback(hi, state, logs)

@@ -3,7 +3,7 @@
 The reference has no profiler at all (SURVEY §5).  Usage:
 
     with trace_to("/tmp/dudf-trace"):
-        state, logs = chunk_fn(state, epochs)
+        state, logs = chunk_fn(state, sampler, epochs)
         jax.block_until_ready(state.params)
 
 then open the trace in TensorBoard (Profile plugin) or xprof.

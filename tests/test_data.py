@@ -148,6 +148,36 @@ class TestDistances:
         d = np.asarray(signed_mesh_distance(q, tris))
         np.testing.assert_allclose(d, [-0.5, 0.5], atol=1e-5)
 
+    def test_pruned_distance_matches_brute_force(self, rng):
+        from diffudf_tpu.data.mesh_distance import (
+            point_triangle_distance_pruned,
+        )
+
+        # random fine triangle soup (many small triangles — the regime the
+        # training oracle sees after preprocessing)
+        base = rng.uniform(-1, 1, size=(600, 3)).astype(np.float32)
+        e1 = rng.normal(size=(600, 3)).astype(np.float32) * 0.05
+        e2 = rng.normal(size=(600, 3)).astype(np.float32) * 0.05
+        tris = jnp.asarray(np.stack([base, base + e1, base + e2], axis=1))
+        q = rng.uniform(-1.2, 1.2, size=(700, 3)).astype(np.float32)
+        brute = np.asarray(point_triangle_distance(jnp.asarray(q), tris))
+        pruned = np.asarray(
+            point_triangle_distance_pruned(jnp.asarray(q), tris, k=64, tile=256)
+        )
+        np.testing.assert_allclose(pruned, brute, atol=1e-5)
+
+    def test_pruned_distance_small_soup_exact_path(self, rng):
+        from diffudf_tpu.data.mesh_distance import (
+            point_triangle_distance_pruned,
+        )
+
+        m = make_cube()
+        tris = triangles_from_mesh(m.vertices, m.faces)  # 12 < k
+        q = rng.uniform(-1, 1, size=(40, 3)).astype(np.float32)
+        brute = np.asarray(point_triangle_distance(jnp.asarray(q), tris))
+        pruned = np.asarray(point_triangle_distance_pruned(jnp.asarray(q), tris))
+        np.testing.assert_allclose(pruned, brute, atol=1e-6)
+
 
 class TestSampling:
     def test_surface_sampling_on_cube(self):
@@ -185,7 +215,11 @@ class TestSampling:
         assert np.all(near_s >= 0)
         assert near_s.max() < 0.08  # ~N(0, 0.01) magnitudes
 
-    def test_mesh_sampler_signed(self, rng):
+    def test_mesh_sampler_unsigned_exact(self, rng):
+        """Mesh-mode GT is the exact *unsigned* mesh distance (documented
+        deviation from the reference's signed Open3D oracle — every
+        shipping loss is even in the GT distance, see
+        ``TrainingSampler.sample``)."""
         m = make_cube()
         pts, nrm = sample_surface_points(m, 500, seed=2)
         tris = np.asarray(m.vertices[m.faces])
@@ -193,11 +227,24 @@ class TestSampling:
         p, n, s = jax.jit(sampler.sample)(jax.random.PRNGKey(1))
         sz = sampler.static.sizes
         s = np.asarray(s)[:, 0]
-        far = np.asarray(p)[sz.on_surface : sz.on_surface + sz.far]
-        inside = np.all(np.abs(far) < 0.5, axis=1)
-        # signed: interior points negative, exterior positive
-        assert np.all(s[sz.on_surface : sz.on_surface + sz.far][inside] <= 0)
-        assert np.all(s[sz.on_surface : sz.on_surface + sz.far][~inside] >= 0)
+        far_sl = slice(sz.on_surface, sz.on_surface + sz.far)
+        far = np.asarray(p)[far_sl]
+        assert np.all(s >= 0)
+        # |distance to box| for interior+exterior points of the 0.5-cube
+        box = np.maximum(np.abs(far) - 0.5, 0.0)
+        outside_d = np.sqrt((box**2).sum(axis=1))
+        inside_d = np.maximum(0.5 - np.abs(far), 0.0).min(axis=1)
+        want = np.where(outside_d > 0, outside_d, inside_d)
+        np.testing.assert_allclose(s[far_sl], want, atol=1e-5)
+
+    def test_mesh_sampler_triangle_padding_buckets(self):
+        m = make_cube()
+        pts, nrm = sample_surface_points(m, 100, seed=2)
+        tris = np.asarray(m.vertices[m.faces])  # 12 triangles
+        sampler = TrainingSampler.from_mesh(pts, nrm, tris, 30, [0.333, 0.666])
+        # padded to the 64-triangle bucket with far-away degenerates
+        assert sampler.tri_verts.shape[0] == 64
+        assert np.asarray(sampler.tri_radii).shape == (64,)
 
     def test_batch_sizes_match_reference_split(self):
         from diffudf_tpu.data.sampling import BatchSizes

@@ -267,11 +267,11 @@ class TestShardedDPStep:
     def test_trains_both_stages(self):
         import jax.numpy as jnp
 
-        trainer, *_ = self._setup()
+        trainer, sampler, *_ = self._setup()
         state = trainer.init_state()
-        state, logs = trainer.chunk_fn("s1")(state, jnp.arange(4, dtype=jnp.int32))
+        state, logs = trainer.chunk_fn("s1")(state, sampler, jnp.arange(4, dtype=jnp.int32))
         assert np.isfinite(np.asarray(logs["total"])).all()
-        state, logs = trainer.chunk_fn("s2")(state, jnp.arange(4, 6, dtype=jnp.int32))
+        state, logs = trainer.chunk_fn("s2")(state, sampler, jnp.arange(4, 6, dtype=jnp.int32))
         assert np.isfinite(np.asarray(logs["total"])).all()
 
     def test_loss_matches_single_device_on_union_batch(self):
@@ -290,14 +290,14 @@ class TestShardedDPStep:
         sdf = jnp.concatenate([b[2] for b in batches])
 
         step = trainer._build_sharded_batch_step("s1")
-        (_, _, grads), (tot, terms) = step((params, state.opt_state), key)
+        (_, _, grads), (tot, terms) = step((params, state.opt_state), sampler, key)
         ref = loss_s1(params, spec, pts, nrm, sdf, cfg.loss_s1_weights, cfg.alpha)
         for k in terms:
             a, b = float(ref[k]), float(terms[k])
             assert abs(a - b) < 1e-3 * max(1.0, abs(a)), (k, a, b)
 
         step2 = trainer._build_sharded_batch_step("s2")
-        _, (_, terms2) = step2((params, state.opt_state), key)
+        _, (_, terms2) = step2((params, state.opt_state), sampler, key)
         ref2 = loss_s2(params, spec, pts, nrm, sdf, cfg.loss_s2_weights, cfg.alpha)
         for k in terms2:
             a, b = float(ref2[k]), float(terms2[k])

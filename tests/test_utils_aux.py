@@ -187,7 +187,7 @@ class TestMultiDevice:
         batch_step = t8._build_sharded_batch_step(stage)
         key = jax.random.PRNGKey(42)
         (_, _, grads), (tot, terms) = jax.jit(batch_step)(
-            (state.params, state.opt_state), key
+            (state.params, state.opt_state), sampler, key
         )
 
         # assemble the identical union batch on one device
