@@ -6,7 +6,9 @@ Reference-compatible surface (``generate_mc.py``):
 
 Config keys (``configs/mc_cfg.json``): alpha, gt_mode, hidden_layer_nodes,
 w0, model_path (.npz), output_path, algorithm ∈ {meshudf, cap, both, siren},
-nsamples (grid N), triangulator ∈ {mc33, tets} (optional, default mc33).
+nsamples (grid N), triangulator ∈ {mc33, lewiner33, tets} (optional,
+default mc33; lewiner33 = reference-exact Lewiner tables incl. tunnel
+resolution).
 """
 
 from __future__ import annotations
@@ -31,10 +33,11 @@ VALID_ALGORITHMS = ("meshudf", "cap", "both", "siren")
 
 def run_mc(params, spec, gt_mode, N, output_path, alpha=None, algorithm="meshudf",
            mesh=None, triangulator=None, sparse=True, refine_steps=0,
-           taubin_iters=0, use_pallas=None):
+           taubin_iters=0, use_pallas=None, cap_signing="vote"):
     """Extract and save mesh(es); returns Mesh or (meshMU, meshCAP).
 
-    triangulator: "mc33" (default) or "tets" — see extract.triangulate.
+    triangulator: "mc33" (default), "lewiner33" (reference-exact tables
+    with interior/tunnel tests) or "tets" — see extract.triangulate.
     sparse: hierarchical band-limited grid evaluation (default; exact for
     every gated cell — see ``grid.lattice.extract_fields_sparse``).  Set
     False to force the dense N³ fused pass.
@@ -89,7 +92,7 @@ def run_mc(params, spec, gt_mode, N, output_path, alpha=None, algorithm="meshudf
     )
 
     if algorithm == "cap":
-        verts, faces = _cap_postprocessed(udf, dirs, N, triangulator)
+        verts, faces = _cap_postprocessed(udf, dirs, N, triangulator, cap_signing)
         m = Mesh(_refine(verts, faces), faces)
         save_mesh(output_path, m)
         print(f"Saved to {output_path}")
@@ -105,7 +108,7 @@ def run_mc(params, spec, gt_mode, N, output_path, alpha=None, algorithm="meshudf
         verts, faces = extract_mesh_meshudf(udf, dirs, triangulator=triangulator)
         mesh_mu = Mesh(_refine(verts, faces), faces)
         save_mesh(stem + "_MU" + ext, mesh_mu)
-        verts, faces = _cap_postprocessed(udf, dirs, N, triangulator)
+        verts, faces = _cap_postprocessed(udf, dirs, N, triangulator, cap_signing)
         mesh_cap = Mesh(_refine(verts, faces), faces)
         save_mesh(stem + "_CAP" + ext, mesh_cap)
         print(f"Saved to {stem + '_MU' + ext}, {stem + '_CAP' + ext}")
@@ -113,7 +116,7 @@ def run_mc(params, spec, gt_mode, N, output_path, alpha=None, algorithm="meshudf
     raise ValueError(f"Invalid algorithm {algorithm!r}")
 
 
-def _cap_postprocessed(udf, dirs, N, triangulator=None):
+def _cap_postprocessed(udf, dirs, N, triangulator=None, cap_signing="vote"):
     """CAP extraction + light cleanup for the CLI artifact.
 
     The reference exports the raw CAP triangle soup (``render_mc.py:254``,
@@ -130,7 +133,8 @@ def _cap_postprocessed(udf, dirs, N, triangulator=None):
     from ..extract.triangulate import DEFAULT_TRIANGULATOR
 
     verts, faces = extract_mesh_cap(
-        udf, dirs, N, triangulator=triangulator or DEFAULT_TRIANGULATOR
+        udf, dirs, N, triangulator=triangulator or DEFAULT_TRIANGULATOR,
+        signing=cap_signing,
     )
     verts, faces = clean_mesh(verts, faces, fill_holes=False)
     verts, faces = remove_small_components(verts, faces)
@@ -163,6 +167,7 @@ def main(argv=None):
         refine_steps=cfg.get("refine_vertices", 0),
         taubin_iters=cfg.get("taubin_iters", 0),
         use_pallas=cfg.get("use_pallas"),
+        cap_signing=cfg.get("cap_signing", "vote"),
     )
 
 
