@@ -5,6 +5,13 @@ Writes procedural meshes into data/demo/:
   * torus.obj       — a (0.6, 0.25) torus, the verify-skill workhorse
   * trefoil.obj     — a trefoil-knot tube, a harder genus-1 shape
 
+plus garment-like OPEN sheets (the regime of the reference's published
+DeepFashion / Multi-Garment tables, ``cuantitative.py:33-74`` — open
+boundaries, no inside/outside, the case signed SDFs cannot represent):
+  * cloth.obj       — a draped, wrinkled heightfield sheet
+  * shell.obj       — an open hemispherical shell (bowl)
+  * skirt.obj       — a flared open cone with azimuthal waves
+
 Usage: python scripts/make_demo.py [out_dir]
 Then:  python -m diffudf_tpu.cli.preprocess data/demo/torus.obj data/demo/
 """
@@ -75,12 +82,61 @@ def trefoil(tube=0.18, nu=256, nv=48):
     return grid_surface(fn, nu, nv)
 
 
+def cloth(n=192, size=0.85):
+    """Draped-cloth heightfield: an open sheet with folds and wrinkles."""
+
+    def fn(u, v):
+        # map the [0, 2π) parameter range onto [-size, size]²
+        x = (u / (2 * np.pi)) * 2 * size - size
+        y = (v / (2 * np.pi)) * 2 * size - size
+        drape = 0.35 * np.exp(-((x / 0.55) ** 2 + (y / 0.55) ** 2))
+        folds = 0.10 * np.sin(4.0 * x) * np.cos(3.0 * y)
+        wrinkle = 0.035 * np.sin(9.0 * (x + 0.6 * y))
+        z = drape + folds + wrinkle - 0.25
+        return np.stack([x, y, z], -1)
+
+    return grid_surface(fn, n, n, closed_u=False, closed_v=False)
+
+
+def shell(n_az=192, n_pol=96, r=0.7):
+    """Open hemispherical shell (bowl), boundary at the equator."""
+
+    def fn(u, v):
+        # v ∈ [0, 2π) -> polar angle in [0.04π, 0.5π] (tiny pole hole
+        # keeps the grid non-degenerate; garments have holes anyway)
+        theta = 0.04 * np.pi + (v / (2 * np.pi)) * (0.46 * np.pi)
+        x = r * np.sin(theta) * np.cos(u)
+        y = r * np.sin(theta) * np.sin(u)
+        z = r * np.cos(theta) - 0.15
+        return np.stack([x, y, z], -1)
+
+    return grid_surface(fn, n_az, n_pol, closed_u=True, closed_v=False)
+
+
+def skirt(n_az=192, n_h=96):
+    """Flared open cone (skirt-like) with azimuthal hem waves."""
+
+    def fn(u, v):
+        h = (v / (2 * np.pi)) * 1.2 - 0.6  # height in [-0.6, 0.6]
+        flare = 0.32 + 0.28 * (0.6 - h) / 1.2
+        wave = 0.05 * np.sin(5.0 * u) * (0.6 - h) / 1.2
+        rr = flare + wave
+        return np.stack([rr * np.cos(u), rr * np.sin(u), h], -1)
+
+    return grid_surface(fn, n_az, n_h, closed_u=True, closed_v=False)
+
+
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "data/demo"
     os.makedirs(out, exist_ok=True)
-    save_mesh(os.path.join(out, "torus.obj"), torus())
-    save_mesh(os.path.join(out, "trefoil.obj"), trefoil())
-    print(f"wrote {out}/torus.obj and {out}/trefoil.obj")
+    names = []
+    for name, mesh in (
+        ("torus", torus()), ("trefoil", trefoil()),
+        ("cloth", cloth()), ("shell", shell()), ("skirt", skirt()),
+    ):
+        save_mesh(os.path.join(out, f"{name}.obj"), mesh)
+        names.append(name)
+    print(f"wrote {', '.join(n + '.obj' for n in names)} to {out}/")
 
 
 if __name__ == "__main__":

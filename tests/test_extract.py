@@ -87,6 +87,49 @@ class TestCap:
         r = np.linalg.norm(verts, axis=1)
         assert np.abs(r - 0.6).max() < 2 * 2 / (N - 1)
 
+    def test_cap_vote_signing_consistent_normals(self):
+        """Vote signing must remove the anchor rule's per-cell normal
+        flips: on a noisy-direction sphere every face normal points the
+        same way relative to the surface."""
+        rng = np.random.default_rng(7)
+        N = 48
+        sdf = sphere_grid(N)
+        udf = np.abs(sdf)
+        axis = np.linspace(-1, 1, N)
+        x, y, z = np.meshgrid(axis, axis, axis, indexing="ij")
+        p = np.stack([x, y, z], axis=-1)
+        rn = np.linalg.norm(p, axis=-1, keepdims=True)
+        outward = p / np.maximum(rn, 1e-9)
+        dirs = -np.sign(sdf)[..., None] * outward
+        # perturb directions like a learned field's noisy fringe
+        dirs = dirs + 0.35 * rng.normal(size=dirs.shape)
+        dirs /= np.maximum(np.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
+        dirs = dirs.astype(np.float32)
+
+        def orient_frac(signing):
+            verts, faces = extract_mesh_cap(
+                udf.astype(np.float32), dirs, N, threshold=0.05,
+                signing=signing,
+            )
+            n = np.cross(verts[faces[:, 1]] - verts[faces[:, 0]],
+                         verts[faces[:, 2]] - verts[faces[:, 0]])
+            cen = verts[faces].mean(1)
+            agree = (n * cen).sum(1) > 0
+            return max(agree.mean(), 1 - agree.mean())
+
+        assert orient_frac("vote") > 0.99
+        # per-cell anchors flip under direction noise (the deficit fixed)
+        assert orient_frac("vote") >= orient_frac("anchor")
+
+    def test_cap_signing_validation(self):
+        N = 16
+        udf = np.full((N, N, N), 0.5, np.float32)
+        dirs = np.zeros((N, N, N, 3), np.float32)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="Invalid signing"):
+            extract_mesh_cap(udf, dirs, N, signing="bogus")
+
     def test_cap_empty_when_far(self):
         N = 16
         udf = np.full((N, N, N), 0.5, np.float32)
