@@ -33,7 +33,8 @@ VALID_ALGORITHMS = ("meshudf", "cap", "both", "siren")
 
 def run_mc(params, spec, gt_mode, N, output_path, alpha=None, algorithm="meshudf",
            mesh=None, triangulator=None, sparse=True, refine_steps=0,
-           taubin_iters=0, use_pallas=None, cap_signing="vote"):
+           taubin_iters=0, use_pallas=None, cap_signing="vote",
+           cap_face_prune_voxels=1.0, cap_taubin=3):
     """Extract and save mesh(es); returns Mesh or (meshMU, meshCAP).
 
     triangulator: "mc33" (default), "lewiner33" (reference-exact tables
@@ -92,7 +93,8 @@ def run_mc(params, spec, gt_mode, N, output_path, alpha=None, algorithm="meshudf
     )
 
     if algorithm == "cap":
-        verts, faces = _cap_postprocessed(udf, dirs, N, triangulator, cap_signing)
+        verts, faces = _cap_postprocessed(udf, dirs, N, triangulator, cap_signing,
+                                          cap_face_prune_voxels, cap_taubin)
         m = Mesh(_refine(verts, faces), faces)
         save_mesh(output_path, m)
         print(f"Saved to {output_path}")
@@ -108,7 +110,8 @@ def run_mc(params, spec, gt_mode, N, output_path, alpha=None, algorithm="meshudf
         verts, faces = extract_mesh_meshudf(udf, dirs, triangulator=triangulator)
         mesh_mu = Mesh(_refine(verts, faces), faces)
         save_mesh(stem + "_MU" + ext, mesh_mu)
-        verts, faces = _cap_postprocessed(udf, dirs, N, triangulator, cap_signing)
+        verts, faces = _cap_postprocessed(udf, dirs, N, triangulator, cap_signing,
+                                          cap_face_prune_voxels, cap_taubin)
         mesh_cap = Mesh(_refine(verts, faces), faces)
         save_mesh(stem + "_CAP" + ext, mesh_cap)
         print(f"Saved to {stem + '_MU' + ext}, {stem + '_CAP' + ext}")
@@ -116,18 +119,32 @@ def run_mc(params, spec, gt_mode, N, output_path, alpha=None, algorithm="meshudf
     raise ValueError(f"Invalid algorithm {algorithm!r}")
 
 
-def _cap_postprocessed(udf, dirs, N, triangulator=None, cap_signing="vote"):
-    """CAP extraction + light cleanup for the CLI artifact.
+def _cap_postprocessed(udf, dirs, N, triangulator=None, cap_signing="vote",
+                       cap_face_prune_voxels=1.0, cap_taubin=3):
+    """CAP extraction + cleanup for the CLI artifact.
 
     The reference exports the raw CAP triangle soup (``render_mc.py:254``,
-    ``process=False``); we additionally merge duplicates, drop specks and
-    make the winding consistent — same geometry, far better vertex normals
-    (the raw soup remains available via ``extract.extract_mesh_cap``).
+    ``process=False``).  Documented deviations, each with a parity-off
+    switch (beetle A/B in README "Fidelity notes"):
+
+      * duplicate merge / speck removal / consistent winding — same
+        geometry, far better vertex normals;
+      * ``cap_face_prune_voxels`` (default 1.0, None disables): drop
+        faces whose centroid UDF exceeds this many voxels — the vote band
+        can fabricate crossings past open borders; this is the same gate
+        the reference has stubbed out for MU (``render_mc.py:142``);
+      * ``cap_taubin`` (default 3, 0 disables): shrink-free Taubin
+        smoothing, removing MC staircase normal noise.
+
+    Measured on the beetle recipe: anchor-raw L1 9.65e-3 / NC 0.080 →
+    vote+prune+taubin L1 9.48e-3 / NC 0.053 (MU: 9.68e-3 / 0.058).
     """
+    from ..extract.meshudf import _trilinear
     from ..extract.postprocess import (
         clean_mesh,
         orient_faces_consistently,
         remove_small_components,
+        taubin_smooth,
     )
 
     from ..extract.triangulate import DEFAULT_TRIANGULATOR
@@ -136,9 +153,16 @@ def _cap_postprocessed(udf, dirs, N, triangulator=None, cap_signing="vote"):
         udf, dirs, N, triangulator=triangulator or DEFAULT_TRIANGULATOR,
         signing=cap_signing,
     )
+    if cap_face_prune_voxels is not None and len(faces):
+        voxel = 2.0 / (N - 1)
+        d = _trilinear(np.maximum(np.asarray(udf, np.float32), 0.0),
+                       verts[faces].mean(axis=1), voxel)
+        faces = faces[d <= cap_face_prune_voxels * voxel]
     verts, faces = clean_mesh(verts, faces, fill_holes=False)
     verts, faces = remove_small_components(verts, faces)
     faces = orient_faces_consistently(faces)
+    if cap_taubin:
+        verts = taubin_smooth(verts, faces, iterations=cap_taubin)
     return verts, faces
 
 
@@ -168,6 +192,8 @@ def main(argv=None):
         taubin_iters=cfg.get("taubin_iters", 0),
         use_pallas=cfg.get("use_pallas"),
         cap_signing=cfg.get("cap_signing", "vote"),
+        cap_face_prune_voxels=cfg.get("cap_face_prune_voxels", 1.0),
+        cap_taubin=cfg.get("cap_taubin", 3),
     )
 
 

@@ -58,16 +58,31 @@ def _nn_scan(x, y, norm: int, y_chunk: int):
     return jnp.maximum(d, 0.0), i
 
 
+def _bucket(n: int) -> int:
+    """Next power of two (min 256): pads query/reference lengths so meshes
+    with different vertex counts share one compiled executable — a remote
+    TPU compile costs 20-40 s, the padded rows cost microseconds."""
+    b = 256
+    while b < n:
+        b <<= 1
+    return b
+
+
 def nearest_neighbor(x, y, norm: int = 2, y_chunk: int = 4096):
     """-> (distances (Q,) under ``norm``, indices (Q,) into y)."""
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
+    q = x.shape[0]
+    qb = _bucket(q)
+    if qb > q:
+        x = jnp.concatenate([x, jnp.full((qb - q, 3), 2e9, x.dtype)])
     m = y.shape[0]
-    pad = (-m) % y_chunk
-    if pad:
-        filler = jnp.full((pad, 3), 1e9, y.dtype)
+    target = max(_bucket(m), y_chunk)  # power of two ≥ y_chunk divides evenly
+    if target > m:
+        filler = jnp.full((target - m, 3), 1e9, y.dtype)
         y = jnp.concatenate([y, filler])
-    return _nn_scan(x, y, norm, y_chunk)
+    d, i = _nn_scan(x, y, norm, y_chunk)
+    return d[:q], i[:q]
 
 
 def chamfer_distance(x, y, x_normals=None, y_normals=None, norm: int = 2):
