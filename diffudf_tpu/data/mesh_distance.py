@@ -213,6 +213,107 @@ def point_triangle_distance_pruned(
     return lax.map(one_tile, tiles).reshape(qn)
 
 
+CAND_GRID_G = 48  # lattice resolution of the candidate grid
+CAND_GRID_K = 96  # candidate triangles per cell
+CAND_GRID_LO = -1.08  # covers [-1,1]³ plus the near-sample fringe
+CAND_GRID_HI = 1.08
+
+
+def build_candidate_grid(
+    tri_verts: jax.Array,
+    centroids: jax.Array | None = None,
+    radii: jax.Array | None = None,
+    g: int = CAND_GRID_G,
+    k: int = CAND_GRID_K,
+    lo: float = CAND_GRID_LO,
+    hi: float = CAND_GRID_HI,
+):
+    """One-time candidate index: the k best-lower-bound triangles per cell
+    of a g³ lattice over the query domain.
+
+    Turns the per-step oracle into a flat gather + exact test with NO
+    per-step top_k and no Q×T sweep: :func:`point_triangle_distance_cells`
+    runs near point-cloud-oracle speed independent of the triangle count.
+
+    The build runs on the HOST with a scipy cKDTree (a couple of seconds
+    even at 131k triangles): the device version of this one-shot pass
+    compiled pathologically on the remote TPU compiler (minutes) while its
+    actual runtime is trivial.  Candidates are the k smallest
+    ``dist(cell_center, centroid) − radius`` lower bounds, re-ranked from
+    an over-queried nearest-centroid set so non-uniform triangle sizes
+    stay covered.
+
+    Returns cand (g³, k) int32 — grid geometry is the module constants.
+    """
+    import numpy as np
+    from scipy.spatial import cKDTree
+
+    if centroids is None or radii is None:
+        # pure-numpy bounds: eager jax ops on the remote platform take
+        # seconds per dispatch and their host reads can stall for minutes
+        tv = np.asarray(tri_verts, np.float32)
+        cen = tv.mean(axis=1)
+        rad = np.sqrt(
+            np.max(np.sum((tv - cen[:, None, :]) ** 2, axis=-1), axis=1)
+        )
+    else:
+        cen = np.asarray(centroids, np.float32)
+        rad = np.asarray(radii, np.float32)
+    t = len(cen)
+    k = min(k, t)
+
+    cell = (hi - lo) / g
+    ax = lo + (np.arange(g, dtype=np.float32) + 0.5) * cell
+    cx, cy, cz = np.meshgrid(ax, ax, ax, indexing="ij")
+    centers = np.stack([cx, cy, cz], axis=-1).reshape(-1, 3)
+
+    tree = cKDTree(cen)
+    kq = min(max(2 * k, k + 32), t)  # over-query, then re-rank by lb
+    d, idx = tree.query(centers, k=kq, workers=-1)  # (g³, kq)
+    if kq == 1:
+        d, idx = d[:, None], idx[:, None]
+    lb = (d - rad[idx]).astype(np.float32)
+    if kq > k:
+        part = np.argpartition(lb, k - 1, axis=1)[:, :k]
+        cand = np.take_along_axis(idx, part, axis=1)
+    else:
+        cand = idx
+    return jnp.asarray(cand.astype(np.int32))
+
+
+def point_triangle_distance_cells(
+    queries: jax.Array,
+    tri_verts: jax.Array,
+    cand: jax.Array,
+    g: int = CAND_GRID_G,
+    lo: float = CAND_GRID_LO,
+    hi: float = CAND_GRID_HI,
+):
+    """Exact-on-candidates unsigned distance using a precomputed grid.
+
+    queries: (Q, 3); cand: (g³, k) from :func:`build_candidate_grid`.
+    Near-exact: the true nearest triangle is among a cell's k candidates
+    whenever the k-th lower bound from the cell center exceeds the true
+    distance by the cell half-diagonal — validated against the brute
+    force on real preprocessed meshes in ``tests/test_data.py``.
+    Runs flat (no lax.map): on-chip this is one gather plus a (Q, k)
+    closest-point sweep — serial tiling was measured 20× slower.
+    """
+    cell = (hi - lo) / g
+    q = queries.shape[0]
+    k = cand.shape[1]
+    ci = jnp.clip(
+        jnp.floor((queries - lo) / cell).astype(jnp.int32), 0, g - 1
+    )
+    lin = (ci[:, 0] * g + ci[:, 1]) * g + ci[:, 2]
+    ids = cand[lin]  # (Q, k)
+    tv = jnp.take(tri_verts, ids.reshape(-1), axis=0).reshape(q, k, 3, 3)
+    d2 = _closest_point_sq_dist(
+        queries[:, None, :], tv[:, :, 0], tv[:, :, 1], tv[:, :, 2]
+    )
+    return jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0))
+
+
 def winding_number(queries: jax.Array, tri_verts: jax.Array, tile: int = 256):
     """Generalised winding number of each query wrt the mesh (≈1 inside,
     ≈0 outside for watertight meshes).  Solid-angle sum per triangle

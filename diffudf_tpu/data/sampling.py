@@ -11,10 +11,11 @@ Batch layout matches the reference contract exactly
 (``src/dataset.py:54-70``): rows = [on-surface | far-uniform | near-surface],
 normals zero off-surface, sdf column = [0 | oracle(far) | near-offsets].
 
-  * far points: uniform in [-1,1]³, GT = pruned exact point-triangle
-    distance (mesh oracle; unsigned — see the documented sign deviation in
-    ``TrainingSampler.sample``, reference ``dataset.py:35``) or unsigned
-    nearest-point distance (pc oracle, ``dataset.py:103``)
+  * far points: uniform in [-1,1]³, GT = exact-on-candidates point-triangle
+    distance via a precomputed cell grid (mesh oracle; unsigned — see the
+    documented sign deviation in ``TrainingSampler.sample``, reference
+    ``dataset.py:35``) or unsigned nearest-point distance (pc oracle,
+    ``dataset.py:103``)
   * near points: surface point + normal · N(0, 0.01) (scalar per point);
     GT = oracle (mesh) or |offset| (pc, ``dataset.py:109-111``)
 """
@@ -28,9 +29,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .mesh_distance import (
+    build_candidate_grid,
     point_cloud_distance,
-    point_triangle_distance_pruned,
-    triangle_bounds,
+    point_triangle_distance_cells,
 )
 
 
@@ -93,8 +94,7 @@ class TrainingSampler:
     surface_normals: jax.Array  # (N, 3) f32
     static: SamplerStatic
     tri_verts: jax.Array | None = None  # (T, 3, 3) for the mesh oracle
-    tri_centroids: jax.Array | None = None  # (T, 3) pruning bounds
-    tri_radii: jax.Array | None = None  # (T,)
+    tri_candidates: jax.Array | None = None  # (G³, K) per-cell candidates
 
     @classmethod
     def from_point_cloud(cls, points, normals, batch_size, percentiles, stddev=0.01):
@@ -120,14 +120,16 @@ class TrainingSampler:
                 far = np.full((t_pad - len(tv), 3, 3), 11.0, np.float32)
                 tv = np.concatenate([tv, far])
         tvd = jnp.asarray(tv)
-        cen, rad = triangle_bounds(tvd)
+        # candidates come from the REAL triangles only (indices are stable
+        # under padding; padded far-away degenerates can never be nearest,
+        # and coincident padding points degrade the KD-tree badly)
+        real = np.asarray(tri_verts, np.float32)
         return cls(
             surface_points=jnp.asarray(points, jnp.float32),
             surface_normals=jnp.asarray(normals, jnp.float32),
             static=SamplerStatic(sizes, "mesh", stddev),
             tri_verts=tvd,
-            tri_centroids=cen,
-            tri_radii=rad,
+            tri_candidates=build_candidate_grid(real),
         )
 
     def local(self, n_devices: int) -> "TrainingSampler":
@@ -184,13 +186,14 @@ class TrainingSampler:
             # and |tanh + αd·sech²| are even) and the siren loss only tests
             # d == 0 (``train/losses.py:159-166``).  Dropping the sign lets
             # the oracle skip the O(Q·T) generalized-winding sweep and use
-            # the pruned top-k closest-point kernel.
-            far_sdf = point_triangle_distance_pruned(
-                far_pts, self.tri_verts, self.tri_centroids, self.tri_radii
+            # the candidate-grid closest-point kernel (exact per candidate
+            # set, ~point-cloud-oracle speed).
+            both = point_triangle_distance_cells(
+                jnp.concatenate([far_pts, near_pts], axis=0),
+                self.tri_verts, self.tri_candidates,
             )
-            near_sdf = point_triangle_distance_pruned(
-                near_pts, self.tri_verts, self.tri_centroids, self.tri_radii
-            )
+            far_sdf = both[: sz.far]
+            near_sdf = both[sz.far :]
         else:
             far_sdf = point_cloud_distance(far_pts, self.surface_points)
             near_sdf = jnp.abs(offset)[:, 0]
@@ -208,6 +211,6 @@ class TrainingSampler:
 jax.tree_util.register_dataclass(
     TrainingSampler,
     data_fields=["surface_points", "surface_normals", "tri_verts",
-                 "tri_centroids", "tri_radii"],
+                 "tri_candidates"],
     meta_fields=["static"],
 )

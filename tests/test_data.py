@@ -178,6 +178,60 @@ class TestDistances:
         pruned = np.asarray(point_triangle_distance_pruned(jnp.asarray(q), tris))
         np.testing.assert_allclose(pruned, brute, atol=1e-6)
 
+    def test_candidate_grid_matches_brute_force(self, rng):
+        """The per-step training oracle: precomputed per-cell candidates +
+        flat exact test must reproduce the brute force on a fine soup."""
+        from diffudf_tpu.data.mesh_distance import (
+            build_candidate_grid,
+            point_triangle_distance_cells,
+        )
+
+        base = rng.uniform(-0.9, 0.9, size=(2000, 3)).astype(np.float32)
+        e1 = rng.normal(size=(2000, 3)).astype(np.float32) * 0.03
+        e2 = rng.normal(size=(2000, 3)).astype(np.float32) * 0.03
+        tris = jnp.asarray(np.stack([base, base + e1, base + e2], axis=1))
+        cand = build_candidate_grid(tris)
+        q = rng.uniform(-1.05, 1.05, size=(3000, 3)).astype(np.float32)
+        brute = np.asarray(point_triangle_distance(jnp.asarray(q), tris))
+        got = np.asarray(point_triangle_distance_cells(jnp.asarray(q), tris, cand))
+        np.testing.assert_allclose(got, brute, atol=1e-5)
+
+    def test_candidate_grid_exact_on_surface_mesh(self, rng):
+        """Same check on a structured surface mesh (torus shell) with
+        training-like query mix: uniform far + near-surface offsets."""
+        from diffudf_tpu.data.mesh_distance import (
+            build_candidate_grid,
+            point_triangle_distance_cells,
+        )
+
+        nu, nv = 96, 48
+        u = np.linspace(0, 2 * np.pi, nu, endpoint=False)
+        v = np.linspace(0, 2 * np.pi, nv, endpoint=False)
+        uu, vv = np.meshgrid(u, v, indexing="ij")
+        verts = np.stack([
+            (0.6 + 0.25 * np.cos(vv)) * np.cos(uu),
+            (0.6 + 0.25 * np.cos(vv)) * np.sin(uu),
+            0.25 * np.sin(vv),
+        ], -1).reshape(-1, 3)
+        faces = []
+        for i in range(nu):
+            for j in range(nv):
+                a = i * nv + j
+                b = ((i + 1) % nu) * nv + j
+                c = ((i + 1) % nu) * nv + (j + 1) % nv
+                d = i * nv + (j + 1) % nv
+                faces += [[a, b, c], [a, c, d]]
+        tris = jnp.asarray(verts[np.asarray(faces)], jnp.float32)
+        cand = build_candidate_grid(tris)
+
+        far = rng.uniform(-1, 1, size=(2000, 3)).astype(np.float32)
+        idx = rng.integers(0, len(verts), 2000)
+        near = (verts[idx] + 0.01 * rng.normal(size=(2000, 3))).astype(np.float32)
+        q = np.concatenate([far, near])
+        brute = np.asarray(point_triangle_distance(jnp.asarray(q), tris))
+        got = np.asarray(point_triangle_distance_cells(jnp.asarray(q), tris, cand))
+        np.testing.assert_allclose(got, brute, atol=1e-5)
+
 
 class TestSampling:
     def test_surface_sampling_on_cube(self):
@@ -244,7 +298,10 @@ class TestSampling:
         sampler = TrainingSampler.from_mesh(pts, nrm, tris, 30, [0.333, 0.666])
         # padded to the 64-triangle bucket with far-away degenerates
         assert sampler.tri_verts.shape[0] == 64
-        assert np.asarray(sampler.tri_radii).shape == (64,)
+        # candidates index the 12 REAL triangles (k clamps to real count;
+        # padded degenerates are never candidates)
+        assert sampler.tri_candidates.shape[1] == 12
+        assert int(np.asarray(sampler.tri_candidates).max()) < 12
 
     def test_batch_sizes_match_reference_split(self):
         from diffudf_tpu.data.sampling import BatchSizes
