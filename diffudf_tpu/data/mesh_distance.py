@@ -260,6 +260,7 @@ def build_candidate_grid(
         cen = np.asarray(centroids, np.float32)
         rad = np.asarray(radii, np.float32)
     t = len(cen)
+    k_out = k  # requested (compile-stable) width; tiny meshes tile up to it
     k = min(k, t)
 
     cell = (hi - lo) / g
@@ -278,6 +279,11 @@ def build_candidate_grid(
         cand = np.take_along_axis(idx, part, axis=1)
     else:
         cand = idx
+    if cand.shape[1] < k_out:
+        # tiny meshes: keep the (g³, k) shape compile-stable by repeating
+        # candidates (duplicates are harmless under the min reduction)
+        reps = -(-k_out // cand.shape[1])
+        cand = np.tile(cand, (1, reps))[:, :k_out]
     return jnp.asarray(cand.astype(np.int32))
 
 

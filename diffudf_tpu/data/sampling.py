@@ -105,17 +105,26 @@ class TrainingSampler:
             static=SamplerStatic(sizes, "pointcloud", stddev),
         )
 
+    # all meshes up to this face count share ONE padded triangle-array
+    # shape — the per-step oracle only ever gathers k candidates, so the
+    # padding costs 4.7 MB of HBM and nothing else, while each distinct
+    # shape would cost a fresh multi-minute remote train-step compile
+    TRI_PAD_BUCKET = 131072
+
     @classmethod
     def from_mesh(cls, points, normals, tri_verts, batch_size, percentiles,
                   stddev=0.01, pad_triangles: bool = True):
-        """``pad_triangles`` pads the triangle count to the next power of
-        two with degenerate far-away triangles (distance ≥ 10, pruned-out
-        lower bounds), so meshes with different face counts share one
-        compiled train step (and one persistent-cache entry)."""
+        """``pad_triangles`` pads the triangle count to a fixed bucket
+        (power of two above ``TRI_PAD_BUCKET`` for giant meshes) with
+        degenerate far-away triangles, so meshes with different face
+        counts share one compiled train step (and one persistent-cache
+        entry)."""
         sizes = BatchSizes.from_config(batch_size, percentiles)
         tv = np.asarray(tri_verts, np.float32)
         if pad_triangles and len(tv):
-            t_pad = 1 << max(6, (len(tv) - 1).bit_length())
+            t_pad = cls.TRI_PAD_BUCKET
+            while t_pad < len(tv):
+                t_pad <<= 1
             if t_pad > len(tv):
                 far = np.full((t_pad - len(tv), 3, 3), 11.0, np.float32)
                 tv = np.concatenate([tv, far])

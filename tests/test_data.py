@@ -296,11 +296,11 @@ class TestSampling:
         pts, nrm = sample_surface_points(m, 100, seed=2)
         tris = np.asarray(m.vertices[m.faces])  # 12 triangles
         sampler = TrainingSampler.from_mesh(pts, nrm, tris, 30, [0.333, 0.666])
-        # padded to the 64-triangle bucket with far-away degenerates
-        assert sampler.tri_verts.shape[0] == 64
-        # candidates index the 12 REAL triangles (k clamps to real count;
-        # padded degenerates are never candidates)
-        assert sampler.tri_candidates.shape[1] == 12
+        # padded to the fixed compile-sharing bucket with far degenerates
+        assert sampler.tri_verts.shape[0] == TrainingSampler.TRI_PAD_BUCKET
+        # candidates index only the 12 REAL triangles, repeated to the
+        # fixed k width (padded degenerates are never candidates)
+        assert sampler.tri_candidates.shape[1] == 96
         assert int(np.asarray(sampler.tri_candidates).max()) < 12
 
     def test_batch_sizes_match_reference_split(self):
