@@ -30,7 +30,9 @@ import numpy as np
 
 from .mesh_distance import (
     build_candidate_grid,
+    build_point_candidate_grid,
     point_cloud_distance,
+    point_cloud_distance_cells,
     point_triangle_distance_cells,
 )
 
@@ -95,6 +97,7 @@ class TrainingSampler:
     static: SamplerStatic
     tri_verts: jax.Array | None = None  # (T, 3, 3) for the mesh oracle
     tri_candidates: jax.Array | None = None  # (G³, K) per-cell candidates
+    pc_candidates: jax.Array | None = None  # (G³, K, 3) per-cell point table
 
     @classmethod
     def from_point_cloud(cls, points, normals, batch_size, percentiles, stddev=0.01):
@@ -103,6 +106,7 @@ class TrainingSampler:
             surface_points=jnp.asarray(points, jnp.float32),
             surface_normals=jnp.asarray(normals, jnp.float32),
             static=SamplerStatic(sizes, "pointcloud", stddev),
+            pc_candidates=build_point_candidate_grid(points),
         )
 
     # all meshes up to this face count share ONE padded triangle-array
@@ -203,6 +207,12 @@ class TrainingSampler:
             )
             far_sdf = both[: sz.far]
             near_sdf = both[sz.far :]
+        elif self.pc_candidates is not None:
+            # candidate-grid nearest-point oracle: exact f32 values with no
+            # Q×N matmul (the MXU path either pays bf16 ranking noise or 3
+            # f32 passes — see mesh_distance._min_sq_dist_tile)
+            far_sdf = point_cloud_distance_cells(far_pts, self.pc_candidates)
+            near_sdf = jnp.abs(offset)[:, 0]
         else:
             far_sdf = point_cloud_distance(far_pts, self.surface_points)
             near_sdf = jnp.abs(offset)[:, 0]
@@ -220,6 +230,6 @@ class TrainingSampler:
 jax.tree_util.register_dataclass(
     TrainingSampler,
     data_fields=["surface_points", "surface_normals", "tri_verts",
-                 "tri_candidates"],
+                 "tri_candidates", "pc_candidates"],
     meta_fields=["static"],
 )

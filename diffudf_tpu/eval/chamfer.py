@@ -36,7 +36,9 @@ def _nn_scan(x, y, norm: int, y_chunk: int):
         best_d, best_i = carry
         yc, base = inp
         if norm == 2:
-            cross = x @ yc.T
+            # explicit f32 matmul precision: the TPU default's bf16
+            # downcast injects ~1e-2-scale noise into squared distances
+            cross = jnp.dot(x, yc.T, precision="float32")
             d = (
                 jnp.sum(x * x, axis=1, keepdims=True)
                 - 2.0 * cross

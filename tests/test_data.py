@@ -233,6 +233,50 @@ class TestDistances:
         np.testing.assert_allclose(got, brute, atol=1e-5)
 
 
+    def test_point_candidate_grid_matches_kdtree(self, rng):
+        """The pc-mode per-step oracle: per-cell point table + flat exact
+        sweep must reproduce the true nearest-neighbour distance on a
+        surface cloud with training-like queries (exact on near rows,
+        sub-mm on uniform far rows)."""
+        from diffudf_tpu.data.mesh_distance import (
+            build_point_candidate_grid,
+            point_cloud_distance_cells,
+        )
+        from scipy.spatial import cKDTree
+
+        u = rng.normal(size=(20000, 3))
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        cloud = (u * 0.7).astype(np.float32)
+        table = build_point_candidate_grid(cloud)
+        assert table.shape[1:] == (64, 3)
+
+        far = rng.uniform(-1, 1, size=(2000, 3)).astype(np.float32)
+        idx = rng.integers(0, len(cloud), 2000)
+        near = (cloud[idx] + 0.01 * rng.normal(size=(2000, 3))).astype(np.float32)
+        q = np.concatenate([far, near])
+        got = np.asarray(point_cloud_distance_cells(jnp.asarray(q), table))
+        want, _ = cKDTree(cloud).query(q)
+        # near rows exact; far rows exact-on-candidates (≲ few mm worst case)
+        np.testing.assert_allclose(got[2000:], want[2000:], atol=1e-5)
+        np.testing.assert_allclose(got[:2000], want[:2000], atol=5e-3)
+        assert np.abs(got[:2000] - want[:2000]).mean() < 1e-4
+
+    def test_point_candidate_grid_tiny_cloud(self, rng):
+        """Clouds smaller than k keep the compile-stable table width."""
+        from diffudf_tpu.data.mesh_distance import (
+            build_point_candidate_grid,
+            point_cloud_distance_cells,
+        )
+
+        cloud = rng.normal(size=(10, 3)).astype(np.float32) * 0.5
+        table = build_point_candidate_grid(cloud)
+        assert table.shape[1:] == (64, 3)
+        q = rng.uniform(-1, 1, size=(50, 3)).astype(np.float32)
+        got = np.asarray(point_cloud_distance_cells(jnp.asarray(q), table))
+        want = np.sqrt(((q[:, None] - cloud[None]) ** 2).sum(-1)).min(1)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 class TestSampling:
     def test_surface_sampling_on_cube(self):
         m = make_cube()
