@@ -142,6 +142,41 @@ class TestQuantitative:
         assert 0 < l2 < 5.0
         assert 0 <= nc <= 2.0
 
+    def test_sweep_pc_mode(self, demo_dir, tmp_path):
+        """Directory walk auto-selects pc-mode (no _t.obj present), trains,
+        extracts both meshes, and appends a well-formed CSV row.  Mirrors
+        the reference's published-protocol driver (cuantitative.py:65-74)."""
+        import shutil
+
+        from diffudf_tpu.cli import quantitative
+
+        shape_dir = tmp_path / "data" / "mini"
+        shape_dir.mkdir(parents=True)
+        shutil.copy(demo_dir / "torus_pc.ply", shape_dir / "mini_pc.ply")
+        cfg = tmp_path / "cfg.json"
+        cfg.write_text(json.dumps({
+            "num_epochs": 30, "s1_epochs": 25, "warmup_epochs": 5,
+            "batch_size": 512, "resolution": 24,
+            "network": {"hidden_layer_nodes": [32, 32], "w0": 30,
+                        "pretrained_dict": "None"},
+            "optimizer": {"type": "adam", "lr_s1": 1e-4, "lr_s2": 1e-6},
+        }))
+        out = tmp_path / "out"
+        quantitative.main([str(tmp_path / "data"), str(out), "--config", str(cfg)])
+
+        rows = (out / "results.csv").read_text().strip().splitlines()
+        assert rows[0].startswith("mesh,time,L1CD_CAP")
+        vals = rows[1].split(",")
+        assert vals[0] == "mini" and len(vals) == 8
+        assert all(np.isfinite(float(v)) for v in vals[1:])
+        # pc-mode was selected: the saved config must record onlyPCloud
+        params = json.loads((out / "mini" / "params.json").read_text())
+        assert params["onlyPCloud"] is True
+        # re-running skips the already-trained shape (failure/resume
+        # semantics, reference cuantitative.py:68-69) — row count unchanged
+        quantitative.main([str(tmp_path / "data"), str(out), "--config", str(cfg)])
+        assert len((out / "results.csv").read_text().strip().splitlines()) == 2
+
 
 class TestGenerateDF:
     def test_slice_figure_files(self, trained_dir, demo_dir, tmp_path):
