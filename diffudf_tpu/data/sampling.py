@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.buckets import next_bucket
 from .mesh_distance import (
     build_candidate_grid,
     build_point_candidate_grid,
@@ -126,9 +127,7 @@ class TrainingSampler:
         sizes = BatchSizes.from_config(batch_size, percentiles)
         tv = np.asarray(tri_verts, np.float32)
         if pad_triangles and len(tv):
-            t_pad = cls.TRI_PAD_BUCKET
-            while t_pad < len(tv):
-                t_pad <<= 1
+            t_pad = next_bucket(len(tv), cls.TRI_PAD_BUCKET)
             if t_pad > len(tv):
                 far = np.full((t_pad - len(tv), 3, 3), 11.0, np.float32)
                 tv = np.concatenate([tv, far])

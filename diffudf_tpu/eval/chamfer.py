@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..utils.buckets import next_bucket
+
 
 @partial(jax.jit, static_argnames=("norm", "y_chunk"))
 def _nn_scan(x, y, norm: int, y_chunk: int):
@@ -64,10 +66,7 @@ def _bucket(n: int) -> int:
     """Next power of two (min 256): pads query/reference lengths so meshes
     with different vertex counts share one compiled executable — a remote
     TPU compile costs 20-40 s, the padded rows cost microseconds."""
-    b = 256
-    while b < n:
-        b <<= 1
-    return b
+    return next_bucket(n, 256)
 
 
 def nearest_neighbor(x, y, norm: int = 2, y_chunk: int = 4096):
@@ -79,7 +78,10 @@ def nearest_neighbor(x, y, norm: int = 2, y_chunk: int = 4096):
     if qb > q:
         x = jnp.concatenate([x, jnp.full((qb - q, 3), 2e9, x.dtype)])
     m = y.shape[0]
-    target = max(_bucket(m), y_chunk)  # power of two ≥ y_chunk divides evenly
+    # bucket for compile sharing, then round up to a multiple of y_chunk so
+    # the scan reshape is exact for any chunk length (not just powers of two)
+    target = max(_bucket(m), y_chunk)
+    target = -(-target // y_chunk) * y_chunk
     if target > m:
         filler = jnp.full((target - m, 3), 1e9, y.dtype)
         y = jnp.concatenate([y, filler])

@@ -111,21 +111,29 @@ def _vote_signs(udf: np.ndarray, dirs: np.ndarray, voxel: float,
     max_thresh = max(1.75, thr_vox + 2.0)
     try:
         from ..native import udf_mc as native
+    except Exception as exc:  # no toolchain / missing build — NOT runtime errors
+        import warnings
 
-        signs, _ = native.vote_bfs(
-            udf, dirs, voxel, avg_thresh=avg_thresh, max_thresh=max_thresh
+        warnings.warn(
+            f"native udf_mc module unavailable ({exc}); CAP vote signing "
+            f"falling back to MST propagation (pure scipy). Build the native "
+            f"module with a C++ toolchain for the vote-BFS semantics.",
+            RuntimeWarning,
         )
-        return signs
-    except Exception:
         from .meshudf import compute_signs
 
         signs, _, participate = compute_signs(
-            udf, dirs, voxel, max_dist_voxels=max(2.0, thr_vox + 1.0),
+            udf, dirs, voxel, max_dist_voxels=max_thresh,
             return_confidence=True,
         )
         signs = signs.copy()
         signs[~participate] = 0
         return signs
+
+    signs, _ = native.vote_bfs(
+        udf, dirs, voxel, avg_thresh=avg_thresh, max_thresh=max_thresh
+    )
+    return signs
 
 
 def extract_mesh_cap(udf, dirs, N: int, threshold: float = CAP_THRESHOLD,

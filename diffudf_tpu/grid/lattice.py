@@ -30,6 +30,7 @@ import numpy as np
 
 from ..autodiff.eigh3 import top_eigenvector
 from ..fields.siren import SirenSpec
+from ..utils.buckets import next_bucket
 from ..fields.transforms import inverse_map
 from ..ops.evaluate import evaluate_field
 
@@ -137,10 +138,7 @@ _CORNERS = [(di, dj, dk) for di in (0, 1) for dj in (0, 1) for dk in (0, 1)]
 
 def _bucket_cap(m: int, floor: int = 4096) -> int:
     """Smallest power-of-4 bucket ≥ m (shape-bucketing, see gather_rows)."""
-    cap = floor
-    while cap < m:
-        cap *= 4
-    return cap
+    return next_bucket(m, floor, factor=4)
 
 
 def extract_fields_sparse(

@@ -27,6 +27,7 @@ from jax import lax
 from ..autodiff.eigh3 import eigh3x3
 from ..autodiff.ops import value, value_grad, value_grad_hessian
 from ..fields.siren import SirenSpec
+from ..utils.buckets import next_bucket
 from ..fields.transforms import inverse_map
 
 
@@ -228,10 +229,7 @@ def _bucket_for(count: int, n: int) -> int:
     20-40 s XLA compile, which dwarfs the ≤4× extra evals of an oversized
     bucket on the small late-march rounds.
     """
-    b = 1024
-    while b < count and b < n:
-        b *= 4
-    return min(b, n)
+    return next_bucket(count, 1024, factor=4, cap=n)
 
 
 def warmup_compacted(

@@ -283,8 +283,6 @@ class Trainer:
         return batch_step
 
     def _build_sharded_batch_step(self, stage: str):
-        import dataclasses as _dc
-
         from ..parallel.mesh import DATA_AXIS
 
         try:
@@ -294,18 +292,20 @@ class Trainer:
         from jax.sharding import PartitionSpec as P
 
         mesh = self.mesh
-        # raises ValueError at build time if the batch groups don't divide
-        # the mesh; only the *static* metadata is kept (the arrays arrive
-        # as runtime arguments)
-        local_static = self.sampler.local(mesh.size).static
-        n_surface_local = local_static.sizes.on_surface
+        # raises ValueError NOW if the initial sampler's batch groups don't
+        # divide the mesh (fail at build, not first dispatch); the traced fn
+        # below re-derives the local layout from the *runtime* sampler
+        # argument so a compiled chunk honors whatever sampler it is fed —
+        # the same sampler-as-argument contract the single-device step keeps
+        self.sampler.local(mesh.size)
 
         def local_terms(params, sampler, keys):
-            local_sampler = _dc.replace(sampler, static=local_static)
+            local_sampler = sampler.local(mesh.size)  # static: trace-time
             pts, nrm, sdf = local_sampler.sample(keys[0])
-            terms = self._loss_terms(stage, params, pts, nrm, sdf,
-                                     n_surface=n_surface_local,
-                                     axis_name=DATA_AXIS)
+            terms = self._loss_terms(
+                stage, params, pts, nrm, sdf,
+                n_surface=local_sampler.static.sizes.on_surface,
+                axis_name=DATA_AXIS)
             # every s1/siren term is a local-batch mean over equal-size
             # shards; s2 already psums its statistics internally
             if stage != "s2":
@@ -366,6 +366,13 @@ class Trainer:
         if state is None:
             state = self.init_state()
         cfg = self.cfg
+
+        if 0 < cfg.epochs_to_checkpoint < chunk_size:
+            # a checkpoint cadence shorter than the canonical chunk would pad
+            # EVERY chunk with fully-computed no-op epochs (masked, not
+            # skipped — scan shapes are static); shrink the compiled scan
+            # length to the cadence instead — still one executable per run
+            chunk_size = cfg.epochs_to_checkpoint
 
         # chunk boundaries: stage switches + epochs_to_checkpoint + chunk_size
         marks = {cfg.num_epochs}

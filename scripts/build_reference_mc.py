@@ -116,8 +116,8 @@ def main(argv=None):
         verts, faces, normals, values = udf_mc_lewiner(
             udf, dirs, spacing=[voxel] * 3
         )
-        # the wrapper already returns vertices in array-axis order (its
-        # internal x is the fastest axis; ``np.fliplr`` restores axis0-major)
+        # the wrapper already returns vertices in array-axis order — no
+        # axis flip is needed (the parity tests would catch a swap)
         verts = np.ascontiguousarray(verts)
         path = osp.join(GOLDEN, f"udf_mc_{name}.npz")
         np.savez_compressed(

@@ -256,3 +256,34 @@ class TestProtocolFloor:
         cd, nc = protocol_floor(mesh, n_samples=5000)
         assert 0 < cd < 0.1
         assert 0 < nc < 0.05
+
+
+class TestNearestNeighborPadding:
+    def test_non_power_of_two_chunk(self):
+        """Padding must round the reference length up to a multiple of
+        y_chunk for ANY chunk length, not just powers of two (regression:
+        the power-of-two bucket alone broke the scan reshape)."""
+        import numpy as np
+
+        from diffudf_tpu.eval.chamfer import nearest_neighbor
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(300, 3)).astype(np.float32)
+        y = rng.normal(size=(5000, 3)).astype(np.float32)
+        d, i = nearest_neighbor(x, y, norm=2, y_chunk=3000)
+        brute = ((x[:, None] - y[None]) ** 2).sum(-1)
+        np.testing.assert_array_equal(np.asarray(i), brute.argmin(1))
+        # the expanded |x|²-2xy+|y|² form carries ~1e-6 cancellation noise
+        np.testing.assert_allclose(np.asarray(d), brute.min(1), rtol=1e-5, atol=5e-6)
+
+
+class TestNextBucket:
+    def test_ladder(self):
+        from diffudf_tpu.utils.buckets import next_bucket
+
+        assert next_bucket(1, 256) == 256
+        assert next_bucket(256, 256) == 256
+        assert next_bucket(257, 256) == 512
+        assert next_bucket(5000, 1024, factor=4) == 16384
+        assert next_bucket(5000, 1024, factor=4, cap=8192) == 8192
+        assert next_bucket(10, 1024, factor=4, cap=8192) == 1024
