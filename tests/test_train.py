@@ -208,6 +208,36 @@ class TestTrainer:
         assert np.isfinite(losses["hessian_constraint"][:30]).all()
         assert np.isfinite(losses["std_on_surf"][30:]).all()
 
+    def test_checkpoint_cadence_shrinks_chunk(self, rng):
+        """A checkpoint cadence shorter than chunk_size must become the
+        compiled scan length (one executable, no padded no-op epochs),
+        with the callback firing at every cadence mark."""
+        cfg = TrainConfig(num_epochs=20, s1_epochs=16, warmup_epochs=0,
+                          lr_s1=1e-4, lr_s2=1e-6, batch_size=96, alpha=10.0,
+                          epochs_to_checkpoint=4)
+        spec = SirenSpec(hidden=(16,))
+        trainer = Trainer(spec, sphere_sampler(rng, batch=96), cfg)
+        scan_lens = []
+        orig = trainer.chunk_fn
+
+        def spy(stage):
+            fn = orig(stage)
+
+            def wrapped(state, sampler, idx):
+                scan_lens.append(int(idx.shape[0]))
+                return fn(state, sampler, idx)
+
+            return wrapped
+
+        trainer.chunk_fn = spy
+        seen = []
+        state, losses, _ = trainer.run(
+            chunk_size=16, callback=lambda e, s, l: seen.append(e))
+        assert set(scan_lens) == {4}, scan_lens
+        assert seen == [4, 8, 12, 16, 20]
+        assert losses["total"].shape == (20,)
+        assert np.isfinite(losses["total"]).all()
+
     def test_checkpoint_roundtrip(self, tmp_path, rng):
         spec = SirenSpec(hidden=(16, 16))
         params = init_siren(jax.random.PRNGKey(0), spec)
