@@ -62,14 +62,19 @@ def ward_reflectance(
     viewer_dirs = _normalize(camera_position[None, :] - pts)
     H = _normalize(viewer_dirs + light_dirs)
     dot = lambda a, b: np.sum(a * b, axis=-1)
-    weight = 1.0 / (
-        4.0 * np.pi * alpha1 * alpha2
-        * np.sqrt(np.maximum(dot(normals, light_dirs) * dot(normals, viewer_dirs), 0.0))
-    )
-    specular = weight * np.exp(
-        -2.0 * ((dot(H, pc1) / alpha1) ** 2 + (dot(H, pc2) / alpha2) ** 2)
-        / (1.0 + dot(normals, H))
-    )
+    # reference semantics (``render_st.py:219-226``): a back-facing
+    # sqrt(negative) is deliberately left to produce NaN so nan_to_num
+    # zeroes the specular term there — clamping the product to 0 instead
+    # would send weight to +inf and the pixel to full specular
+    with np.errstate(invalid="ignore", divide="ignore"):
+        weight = 1.0 / (
+            4.0 * np.pi * alpha1 * alpha2
+            * np.sqrt(dot(normals, light_dirs) * dot(normals, viewer_dirs))
+        )
+        specular = weight * np.exp(
+            -2.0 * ((dot(H, pc1) / alpha1) ** 2 + (dot(H, pc2) / alpha2) ** 2)
+            / (1.0 + dot(normals, H))
+        )
     specular = np.nan_to_num(specular)[:, None] * 0.1
 
     diffuse_c, spec_c, ambient_c = _colors(color_map, n)
