@@ -58,11 +58,21 @@ def gt_grad_norm(mode: str, d, alpha: float):
 
 
 def inverse_map(mode: str, f, alpha: float, min_step: float = 0.01):
-    """Euclidean step length from a (non-negative) predicted field value f."""
+    """Euclidean step length from a predicted field value f.
+
+    Reference semantics (``src/inverses.py:11-22``, golden-tested in
+    ``tests/test_golden_losses.py``), with one documented deviation: for
+    ``tanh`` the reference takes sqrt of a possibly-negative value (NaN
+    that callers avoid by clamping upstream); we clamp to 0 instead.
+    Note the reference's ``squared`` mode divides its min_step fill by
+    sqrt(alpha) too (the whole array is scaled after the fill) — matched
+    here."""
     _check(mode)
     if mode == "tanh":
         safe = jnp.sqrt(jnp.maximum(f, 0.0) / alpha)
         return jnp.where(f < 1.0 / alpha, safe, f)
     if mode == "squared":
-        return jnp.where(f > 0, jnp.sqrt(jnp.maximum(f, 0.0) / alpha), min_step)
+        return jnp.where(
+            f > 0, jnp.sqrt(jnp.maximum(f, 0.0)), min_step
+        ) / jnp.sqrt(alpha)
     return jnp.where(f > 0, f, min_step)
