@@ -208,6 +208,24 @@ class TestTrainer:
         assert np.isfinite(losses["hessian_constraint"][:30]).all()
         assert np.isfinite(losses["std_on_surf"][30:]).all()
 
+    def test_run_is_deterministic(self, rng):
+        """Same config + same init → bit-identical params and loss curves
+        (the reference's de-facto validation is its fixed seed 123,
+        ``train.py:292-295``; here the whole pipeline is PRNG-keyed)."""
+        cfg = TrainConfig(num_epochs=12, s1_epochs=10, warmup_epochs=0,
+                          lr_s1=1e-4, lr_s2=1e-6, batch_size=96, alpha=10.0)
+        spec = SirenSpec(hidden=(16,))
+        sampler = sphere_sampler(rng, batch=96)
+        outs = []
+        for _ in range(2):
+            trainer = Trainer(spec, sampler, cfg)
+            state, losses, _ = trainer.run(chunk_size=5)
+            outs.append((state, losses))
+        (s1, l1), (s2, l2) = outs
+        np.testing.assert_array_equal(np.asarray(l1["total"]), np.asarray(l2["total"]))
+        for a, b in zip(s1.params, s2.params):
+            np.testing.assert_array_equal(np.asarray(a["w"]), np.asarray(b["w"]))
+
     def test_checkpoint_cadence_shrinks_chunk(self, rng):
         """A checkpoint cadence shorter than chunk_size must become the
         compiled scan length (one executable, no padded no-op epochs),
