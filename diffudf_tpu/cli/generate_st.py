@@ -149,9 +149,9 @@ def create_projectional_image(
         curv = np.clip(curv, lo, hi)
         curv -= curv.min()
         curv /= max(curv.max(), 1e-12)
-        import matplotlib.cm as cm
+        import matplotlib
 
-        color_map = cm.get_cmap("RdYlBu")(curv[:, 0])[:, :3]
+        color_map = matplotlib.colormaps["RdYlBu"](curv[:, 0])[:, :3]
 
     if rendering_config.get("reflection_method", "blinn-phong") == "ward":
         return ward_reflectance(
