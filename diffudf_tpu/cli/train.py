@@ -77,12 +77,17 @@ def generate_final_meshes(params, spec, cfg: TrainConfig, out_dir: str, mesh_ctx
 
 
 def setup_train(cfg: TrainConfig, make_meshes: bool = True, verbose: bool = True,
-                resume: bool = False):
+                resume: bool = False, n_mesh_devices: int = 0):
     """Programmatic entry (the ``cuantitative`` driver uses this too).
 
     ``resume=True`` continues an interrupted run from
     ``models/train_state.npz`` (params + optimizer state + epoch — exact
     mid-run resume, a capability the reference lacks).
+
+    ``n_mesh_devices > 1`` trains data-parallel over a 1-D device mesh
+    (params replicated, per-device sampling, gradient psum over ICI).
+    Batch groups that don't divide the mesh fall back to a slower
+    constrained-sharding step (with a RuntimeWarning).
 
     Returns (training_time_seconds, final mesh or (meshMU, meshCAP) or None).
     """
@@ -93,7 +98,12 @@ def setup_train(cfg: TrainConfig, make_meshes: bool = True, verbose: bool = True
     sampler, pc, mesh = build_sampler(cfg)
     spec = cfg.network.to_spec()
 
-    trainer = Trainer(spec, sampler, cfg)
+    device_mesh = None
+    if n_mesh_devices and n_mesh_devices > 1:
+        from ..parallel.mesh import data_mesh
+
+        device_mesh = data_mesh(n_mesh_devices)
+    trainer = Trainer(spec, sampler, cfg, mesh=device_mesh)
     state = trainer.init_state()
     start_epoch = 0
     resume_path = osp.join(full_path, "models", "train_state.npz")
@@ -192,9 +202,13 @@ def main(argv=None):
                              "managed by JAX")
     parser.add_argument("--resume", action="store_true",
                         help="continue from models/train_state.npz")
+    parser.add_argument("--mesh", type=int, default=0, metavar="N",
+                        help="data-parallel training over the first N "
+                             "devices (1-D jax mesh; batch groups must "
+                             "divide N). Default: single device.")
     args = parser.parse_args(argv)
     cfg = TrainConfig.from_json(args.experiment_path)
-    t, _, _ = setup_train(cfg, resume=args.resume)
+    t, _, _ = setup_train(cfg, resume=args.resume, n_mesh_devices=args.mesh)
     print(f"Training time: {t:.1f}s")
 
 

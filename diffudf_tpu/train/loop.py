@@ -188,10 +188,17 @@ class Trainer:
             # union batch.  XLA turns the grad of pmean into the ICI psum.
             try:
                 batch_step = self._build_sharded_batch_step(stage)
-            except ValueError:
+            except ValueError as exc:
                 # batch groups don't divide the mesh: fall back to the
                 # masked full-batch loss under a sharding constraint
                 # (correct, but loses the split-Hessian fast path)
+                import warnings
+
+                warnings.warn(
+                    f"{exc} — falling back to the constrained-sharding DP "
+                    f"step (correct but slower; pick batch sizes whose "
+                    f"[surf|far|near] groups divide the mesh for the fast "
+                    f"path)", RuntimeWarning)
                 batch_step = self._build_constrained_batch_step(stage)
         if batch_step is None:
             def batch_step(params_opt, sampler, key):
