@@ -228,6 +228,36 @@ class TestResume:
         assert epoch_after == 30
 
 
+class TestMeshFlag:
+    def test_setup_train_dp_mesh(self, demo_dir):
+        """--mesh N path: setup_train over the 8-device CPU mesh trains and
+        writes the same artifacts as the single-device path."""
+        from diffudf_tpu.cli.train import setup_train
+
+        cfg = TrainConfig.from_dict({
+            "num_epochs": 20, "s1_epochs": 16, "warmup_epochs": 0,
+            "dataset": str(demo_dir / "torus"),
+            "only_pcloud": True,
+            # groups 512/512/512 divide 8 -> shard_map fast path
+            "batch_size": 1600, "sampling_percentiles": [0.32, 0.64],
+            "batches_per_epoch": 1,
+            "checkpoint_path": str(demo_dir / "results"),
+            "experiment_name": "exp_dp",
+            "epochs_to_checkpoint": 0, "gt_mode": "tanh",
+            "loss_s1_weights": [1e4, 1e4, 1e4, 1e3],
+            "loss_s2_weights": [1e5, 1e5], "alpha": 10,
+            "optimizer": {"type": "adam", "lr_s1": 1e-4, "lr_s2": 1e-6},
+            "network": {"hidden_layer_nodes": [16], "w0": 30,
+                        "pretrained_dict": "None"},
+            "resolution": 0,
+        })
+        t, meshes, state = setup_train(cfg, verbose=False, n_mesh_devices=8)
+        out = demo_dir / "results" / "exp_dp"
+        assert (out / "models" / "model_best.npz").exists()
+        losses = np.genfromtxt(out / "losses.csv", delimiter=";", names=True)
+        assert np.isfinite(losses["total"]).all()
+
+
 class TestSirenMode:
     def test_siren_gt_mode_end_to_end(self, demo_dir):
         """gt_mode='siren': signed-SDF training + signed-MC extraction."""
