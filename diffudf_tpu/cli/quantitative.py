@@ -44,10 +44,11 @@ def mesh_metrics(mesh: Mesh, gt_points, gt_normals):
     return l1, l2, nc
 
 
-def evaluate_shape(cfg: TrainConfig, gt_pc_path: str):
+def evaluate_shape(cfg: TrainConfig, gt_pc_path: str, n_mesh_devices: int = 0):
     from .train import setup_train
 
-    training_time, meshes, _ = setup_train(cfg, verbose=False)
+    training_time, meshes, _ = setup_train(cfg, verbose=False,
+                                           n_mesh_devices=n_mesh_devices)
     mesh_mu, mesh_cap = meshes
     gt = load_point_cloud(gt_pc_path)
     l1_cap, l2_cap, nc_cap = mesh_metrics(mesh_cap, gt.points, gt.normals)
@@ -64,6 +65,9 @@ def main(argv=None):
     parser.add_argument("outfolder", type=str)
     parser.add_argument("--config", type=str, default=None,
                         help="JSON training config overriding the defaults")
+    parser.add_argument("--mesh", type=int, default=0, metavar="N",
+                        help="data-parallel training over the first N "
+                             "devices (see cli.train --mesh)")
     args = parser.parse_args(argv)
 
     base = dict(DEFAULT_CONFIG)
@@ -95,7 +99,7 @@ def main(argv=None):
         d["onlyPCloud"] = not any(f.endswith("_t.obj") for f in filenames)
         cfg = TrainConfig.from_dict(d)
 
-        t, cap, mu = evaluate_shape(cfg, pc_file)
+        t, cap, mu = evaluate_shape(cfg, pc_file, n_mesh_devices=args.mesh)
         with open(results_path, "a") as fh:
             fh.write(
                 f"{experiment_name},{t},{cap[0]},{cap[1]},{cap[2]},"
