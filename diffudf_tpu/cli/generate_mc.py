@@ -182,10 +182,19 @@ def main(argv=None):
         w0=cfg.get("w0", 30),
         activation=cfg.get("activation", "sine"),
     )
+    # "shard_grid": true → lattice evaluation sharded over all devices
+    # (multi-chip; same key family as generate_st "shard_rays" /
+    # generate_pc "shard_points")
+    device_mesh = None
+    if cfg.get("shard_grid"):
+        from ..parallel.mesh import data_mesh
+
+        device_mesh = data_mesh()
     print("Generating mesh...")
     run_mc(
         params, spec, cfg["gt_mode"], cfg["nsamples"], cfg["output_path"],
         cfg.get("alpha"), cfg.get("algorithm", "meshudf"),
+        mesh=device_mesh,
         triangulator=cfg.get("triangulator"),
         sparse=cfg.get("sparse_grid", True),
         refine_steps=cfg.get("refine_vertices", 0),
