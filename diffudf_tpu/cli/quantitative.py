@@ -66,8 +66,9 @@ def main(argv=None):
     parser.add_argument("--config", type=str, default=None,
                         help="JSON training config overriding the defaults")
     parser.add_argument("--mesh", type=int, default=0, metavar="N",
-                        help="data-parallel training over the first N "
-                             "devices (see cli.train --mesh)")
+                        help="data-parallel training over exactly the first "
+                             "N devices; N=1 pins one device; default all "
+                             "(see cli.train --mesh)")
     args = parser.parse_args(argv)
 
     base = dict(DEFAULT_CONFIG)

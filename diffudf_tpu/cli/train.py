@@ -84,12 +84,16 @@ def setup_train(cfg: TrainConfig, make_meshes: bool = True, verbose: bool = True
     ``models/train_state.npz`` (params + optimizer state + epoch — exact
     mid-run resume, a capability the reference lacks).
 
-    ``n_mesh_devices > 1`` trains data-parallel over a 1-D device mesh
-    (params replicated, per-device sampling, gradient psum over ICI).
-    Batch groups that don't divide the mesh fall back to a slower
-    constrained-sharding step (with a RuntimeWarning).
+    ``n_mesh_devices >= 1`` trains data-parallel over a 1-D mesh of exactly
+    the first N devices (params replicated, per-device sampling, gradient
+    psum over ICI); ``n_mesh_devices=1`` pins a true single-device run.
+    ``0`` (default) uses all visible devices.  Batch groups that don't
+    divide the mesh fall back to a slower constrained-sharding step (with
+    a RuntimeWarning).
 
-    Returns (training_time_seconds, final mesh or (meshMU, meshCAP) or None).
+    Returns ``(training_time_seconds, meshes, state)`` where ``meshes`` is
+    the final mesh, a ``(meshMU, meshCAP)`` pair, or None (make_meshes
+    off / siren mode), and ``state`` is the final TrainState.
     """
     full_path = ckpt.create_output_paths(cfg.checkpoint_path, cfg.experiment_name)
     with open(osp.join(full_path, "params.json"), "w") as fh:
@@ -99,7 +103,7 @@ def setup_train(cfg: TrainConfig, make_meshes: bool = True, verbose: bool = True
     spec = cfg.network.to_spec()
 
     device_mesh = None
-    if n_mesh_devices and n_mesh_devices > 1:
+    if n_mesh_devices and n_mesh_devices >= 1:
         from ..parallel.mesh import data_mesh
 
         device_mesh = data_mesh(n_mesh_devices)
@@ -203,9 +207,10 @@ def main(argv=None):
     parser.add_argument("--resume", action="store_true",
                         help="continue from models/train_state.npz")
     parser.add_argument("--mesh", type=int, default=0, metavar="N",
-                        help="data-parallel training over the first N "
-                             "devices (1-D jax mesh; batch groups must "
-                             "divide N). Default: single device.")
+                        help="data-parallel training over exactly the first "
+                             "N devices (1-D jax mesh; batch groups should "
+                             "divide N; N=1 pins one device). Default: all "
+                             "visible devices.")
     args = parser.parse_args(argv)
     cfg = TrainConfig.from_json(args.experiment_path)
     t, _, _ = setup_train(cfg, resume=args.resume, n_mesh_devices=args.mesh)

@@ -233,6 +233,23 @@ CAND_GRID_LO = -1.08  # covers [-1,1]³ plus the near-sample fringe
 CAND_GRID_HI = 1.08
 
 
+def _cell_centers(g: int, lo: float, hi: float):
+    """(g³, 3) f32 numpy lattice of cell centers over [lo, hi]³."""
+    import numpy as np
+
+    cell = (hi - lo) / g
+    ax = lo + (np.arange(g, dtype=np.float32) + 0.5) * cell
+    cx, cy, cz = np.meshgrid(ax, ax, ax, indexing="ij")
+    return np.stack([cx, cy, cz], axis=-1).reshape(-1, 3)
+
+
+# Triangles ranked in the top CAND_BIG_MAX by bounding radius are tested
+# densely against every cell: the kNN-over-centroids shortcut is only safe
+# when radii are bounded, and the few largest outliers (a ground plane, a
+# coarse hull face) are exactly the ones a nearest-centroid query misses.
+CAND_BIG_MAX = 512
+
+
 def build_candidate_grid(
     tri_verts: jax.Array,
     centroids: jax.Array | None = None,
@@ -252,10 +269,19 @@ def build_candidate_grid(
     The build runs on the HOST with a scipy cKDTree (a couple of seconds
     even at 131k triangles): the device version of this one-shot pass
     compiled pathologically on the remote TPU compiler (minutes) while its
-    actual runtime is trivial.  Candidates are the k smallest
-    ``dist(cell_center, centroid) − radius`` lower bounds, re-ranked from
-    an over-queried nearest-centroid set so non-uniform triangle sizes
-    stay covered.
+    actual runtime is trivial.
+
+    Candidate selection is the exact top-k by the bounding-sphere lower
+    bound ``dist(cell_center, centroid) − radius`` over ALL triangles —
+    the same criterion as :func:`point_triangle_distance_pruned`, not a
+    nearest-centroid heuristic.  Exactness is kept cheap in two parts:
+    the ``CAND_BIG_MAX`` largest-radius triangles are scored densely
+    against every cell (a huge triangle's centroid can be arbitrarily far
+    from cells its surface passes through), and the remaining bounded-
+    radius triangles go through a centroid kNN whose width escalates per
+    cell until the kq-th neighbour distance provably exceeds
+    ``τ_k + max(small radii)`` — i.e. every unqueried triangle's lower
+    bound is ≥ the selected k-th, so the exclusion is exact.
 
     Returns cand (g³, k) int32 — grid geometry is the module constants.
     """
@@ -277,22 +303,92 @@ def build_candidate_grid(
     k_out = k  # requested (compile-stable) width; tiny meshes tile up to it
     k = min(k, t)
 
-    cell = (hi - lo) / g
-    ax = lo + (np.arange(g, dtype=np.float32) + 0.5) * cell
-    cx, cy, cz = np.meshgrid(ax, ax, ax, indexing="ij")
-    centers = np.stack([cx, cy, cz], axis=-1).reshape(-1, 3)
+    centers = _cell_centers(g, lo, hi)
+    n_cells = len(centers)
 
-    tree = cKDTree(cen)
-    kq = min(max(2 * k, k + 32), t)  # over-query, then re-rank by lb
-    d, idx = tree.query(centers, k=kq, workers=-1)  # (g³, kq)
-    if kq == 1:
-        d, idx = d[:, None], idx[:, None]
-    lb = (d - rad[idx]).astype(np.float32)
-    if kq > k:
-        part = np.argpartition(lb, k - 1, axis=1)[:, :k]
-        cand = np.take_along_axis(idx, part, axis=1)
+    # split: largest-radius triangles scored densely, the rest via kNN
+    nb = min(t, CAND_BIG_MAX)
+    if nb < t:
+        big = np.argpartition(rad, t - nb)[t - nb:]
     else:
-        cand = idx
+        big = np.arange(t)
+    small_mask = np.ones(t, bool)
+    small_mask[big] = False
+    small = np.flatnonzero(small_mask)
+    ts = len(small)
+    rad_small_max = np.float32(rad[small].max()) if ts else np.float32(0.0)
+    cen_big, rad_big = cen[big], rad[big]
+    cen_big_sq = np.sum(cen_big * cen_big, axis=1)
+
+    tree = cKDTree(cen[small]) if ts else None
+    kq0 = min(max(2 * k, k + 32), ts) if ts else 0
+
+    cand = np.empty((n_cells, k), np.int64)
+    chunk = 16384
+    for s in range(0, n_cells, chunk):
+        pts = centers[s:s + chunk]
+        m = len(pts)
+        # dense lower bounds vs the big set (m × nb matmul: trivial)
+        d2 = (
+            np.sum(pts * pts, axis=1)[:, None]
+            - 2.0 * (pts @ cen_big.T)
+            + cen_big_sq[None, :]
+        )
+        lb_big = np.sqrt(np.maximum(d2, 0.0)).astype(np.float32) - rad_big
+
+        rows = np.arange(m)
+        kq = kq0
+        while True:
+            if ts and kq >= 4096 and kq < ts:
+                # escalation blew past the kNN sweet spot: score the
+                # remaining rows densely against all small triangles
+                # (row count here is tiny — the pathological fringe)
+                d2s = (
+                    np.sum(pts[rows] * pts[rows], axis=1)[:, None]
+                    - 2.0 * (pts[rows] @ cen[small].T)
+                    + np.sum(cen[small] * cen[small], axis=1)[None, :]
+                )
+                lb_s = np.sqrt(np.maximum(d2s, 0.0)).astype(np.float32) - rad[small]
+                lb_all = np.concatenate([lb_s, lb_big[rows]], axis=1)
+                ids_all = np.concatenate(
+                    [np.broadcast_to(small, lb_s.shape),
+                     np.broadcast_to(big, (len(rows), nb))],
+                    axis=1,
+                )
+                part = np.argpartition(lb_all, k - 1, axis=1)[:, :k]
+                cand[s + rows] = np.take_along_axis(ids_all, part, axis=1)
+                break
+            if ts and kq:
+                d, idx = tree.query(pts[rows], k=kq, workers=-1)
+                if kq == 1:
+                    d, idx = d[:, None], idx[:, None]
+                lb_s = (d - rad[small[idx]]).astype(np.float32)
+                lb_all = np.concatenate([lb_s, lb_big[rows]], axis=1)
+                ids_all = np.concatenate(
+                    [small[idx], np.broadcast_to(big, (len(rows), nb))],
+                    axis=1,
+                )
+            else:
+                lb_all = lb_big[rows]
+                ids_all = np.broadcast_to(big, (len(rows), nb))
+            if lb_all.shape[1] > k:
+                part = np.argpartition(lb_all, k - 1, axis=1)[:, :k]
+                sel = np.take_along_axis(ids_all, part, axis=1)
+                tau = np.take_along_axis(lb_all, part, axis=1).max(axis=1)
+            else:
+                sel = np.array(ids_all)
+                tau = lb_all.max(axis=1)
+            cand[s + rows] = sel
+            if not ts or kq >= ts:
+                break
+            # exclusion is exact when every unqueried small triangle's
+            # lower bound (≥ d_kq − rad_small_max) is ≥ the selected k-th
+            unsafe = d[:, -1] < tau + rad_small_max
+            if not unsafe.any():
+                break
+            rows = rows[unsafe]
+            kq = min(max(kq * 2, 256), ts)
+
     if cand.shape[1] < k_out:
         # tiny meshes: keep the (g³, k) shape compile-stable by repeating
         # candidates (duplicates are harmless under the min reduction)
@@ -373,10 +469,7 @@ def build_point_candidate_grid(
     k_out = k
     k = min(k, n)
 
-    cell = (hi - lo) / g
-    ax = lo + (np.arange(g, dtype=np.float32) + 0.5) * cell
-    cx, cy, cz = np.meshgrid(ax, ax, ax, indexing="ij")
-    centers = np.stack([cx, cy, cz], axis=-1).reshape(-1, 3)
+    centers = _cell_centers(g, lo, hi)
 
     _, idx = cKDTree(pts).query(centers, k=k, workers=-1)
     if k == 1:

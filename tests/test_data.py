@@ -233,6 +233,42 @@ class TestDistances:
         np.testing.assert_allclose(got, brute, atol=1e-5)
 
 
+    def test_candidate_grid_nonuniform_triangle_sizes(self, rng):
+        """Coverage regression: a huge triangle whose CENTROID is far from
+        a cell must still be that cell's candidate when its SURFACE passes
+        nearby.  A dense cluster of >k tiny triangles next to a ground
+        plane used to crowd the plane out of the nearest-centroid
+        over-query, silently corrupting mesh-mode training GT."""
+        from diffudf_tpu.data.mesh_distance import (
+            build_candidate_grid,
+            point_triangle_distance_cells,
+        )
+
+        # ground plane z = -0.5 as two domain-spanning triangles
+        quad = np.array(
+            [[-1, -1, -0.5], [1, -1, -0.5], [1, 1, -0.5], [-1, 1, -0.5]],
+            np.float32,
+        )
+        plane = np.stack([quad[[0, 1, 2]], quad[[0, 2, 3]]])
+        # 5000 tiny triangles clustered just above the plane
+        base = (
+            np.array([0.5, 0.5, -0.45], np.float32)
+            + rng.normal(size=(5000, 3)).astype(np.float32) * 0.01
+        )
+        e1 = rng.normal(size=(5000, 3)).astype(np.float32) * 0.005
+        e2 = rng.normal(size=(5000, 3)).astype(np.float32) * 0.005
+        cluster = np.stack([base, base + e1, base + e2], axis=1)
+        tris = jnp.asarray(np.concatenate([plane, cluster]))
+
+        cand = build_candidate_grid(tris)
+        # queries hugging the plane far from both centroids AND the cluster
+        px = rng.uniform(-0.95, 0.95, size=(500, 2)).astype(np.float32)
+        qz = (-0.5 + rng.uniform(-0.04, 0.04, size=(500, 1))).astype(np.float32)
+        q = np.concatenate([px, qz], axis=1)
+        brute = np.asarray(point_triangle_distance(jnp.asarray(q), tris))
+        got = np.asarray(point_triangle_distance_cells(jnp.asarray(q), tris, cand))
+        np.testing.assert_allclose(got, brute, atol=1e-5)
+
     def test_point_candidate_grid_matches_kdtree(self, rng):
         """The pc-mode per-step oracle: per-cell point table + flat exact
         sweep must reproduce the true nearest-neighbour distance on a
