@@ -96,7 +96,9 @@ def signed_cell_values(udf: np.ndarray, dirs: np.ndarray, threshold: float = CAP
         ok = (s8 != 0).all(axis=1)
         vals = np.where(ok[:, None], u8 * s8, vals).astype(np.float32)
 
-    crossing = vals.min(axis=1) < 0
+    # both signs present: fully-negative cells (vote-signed interior) hold
+    # no zero crossing and would only bloat the triangulator's cell set
+    crossing = (vals.min(axis=1) < 0) & (vals.max(axis=1) >= 0)
     return idx[crossing], vals[crossing]
 
 

@@ -429,7 +429,8 @@ def extract_mesh_meshudf(
             # drop cells whose least-confident corner is far below the
             # typical vote confidence: exact fields are uniformly confident
             # (no cells lost), learned fields lose the unreliable fringe
-            ref_conf = np.median(conf[participate & (conf > 0)]) if participate.any() else 0.0
+            pos = conf[participate & (conf > 0)]
+            ref_conf = np.median(pos) if pos.size else 0.0
             if ref_conf > 0:
                 cc = _corner_views(conf)
                 cmin = np.minimum.reduce(cc)

@@ -74,9 +74,9 @@ def refine_vertices(
     # pad to a power-of-4 bucket of ``tile``: every distinct padded length
     # is a fresh XLA compile (20-40 s remote), so meshes of different sizes
     # must share a small executable set
-    cap = tile
-    while cap < n:
-        cap *= 4
+    from ..utils.buckets import next_bucket
+
+    cap = next_bucket(n, tile, factor=4)
     if cap > n:
         v = np.concatenate([v, np.zeros((cap - n, 3), np.float32)])
     out = _refine(

@@ -156,6 +156,7 @@ def extract_fields_sparse(
     coarse_stride: int | None = None,
     safety: float = 1.5,
     use_pallas=None,
+    cap_threshold: float | None = None,
 ):
     """Hierarchical (coarse → band-refined) field extraction → host numpy.
 
@@ -204,10 +205,15 @@ def extract_fields_sparse(
     ud_c_dev = inverse_map(gt_mode, jnp.abs(evc.f), alpha)
     ud_c = np.asarray(ud_c_dev, np.float32).reshape(Nc, Nc, Nc)
 
-    # CAP's cell gate is *absolute* (min corner < 0.008, ``render_mc.py:213``)
-    # and reads corner dirs up to √3·h beyond it; at very fine grids that
-    # reach exceeds a fixed voxel count, so the bands adapt to cover it.
-    dirs_band = max(dirs_band_voxels * h, 0.008 + 1.9 * h)
+    # CAP's cell gate is *absolute* (min corner < threshold,
+    # ``render_mc.py:213``) and its vote signing reads corner dirs out to
+    # ``threshold + 2.0·h`` (``extract.cap._vote_signs`` max gate); at very
+    # fine grids that reach exceeds a fixed voxel count, so the bands adapt
+    # to cover it.  Callers running CAP with a custom threshold must pass
+    # it here so the sparse band still covers the vote gates.
+    if cap_threshold is None:
+        from ..extract.cap import CAP_THRESHOLD as cap_threshold
+    dirs_band = max(dirs_band_voxels * h, cap_threshold + 2.0 * h)
     band = max(band_voxels * h, dirs_band + 0.5 * h)
     margin = safety * (s * h * np.sqrt(3.0) / 2.0) + 2.0 * h
     # host and device MUST compare against bit-identical f32 thresholds:

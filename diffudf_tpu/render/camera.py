@@ -38,7 +38,11 @@ def look_at_rotation(camera_position: np.ndarray) -> np.ndarray:
     if np.isclose(b[2], 1.0):  # camera on -z axis
         return np.eye(3)
     up = np.array([0.0, 1.0, 0.0]) - (np.array([0.0, 1.0, 0.0]) @ b) * b
-    up /= np.linalg.norm(up)
+    n = np.linalg.norm(up)
+    if n < 1e-6:  # camera on (or near) the ±y axis: y-up is degenerate
+        up = np.array([0.0, 0.0, 1.0]) - (np.array([0.0, 0.0, 1.0]) @ b) * b
+        n = np.linalg.norm(up)
+    up /= n
     right = np.cross(up, b)
     return np.vstack([right, up, b]).T
 
@@ -102,4 +106,9 @@ def cube_entry_points(ray_dirs: np.ndarray, camera_position, planes=None):
     valid = inside.any(axis=-1) & np.isfinite(t_entry)
     start = np.zeros_like(ray_dirs)
     start[valid] = ray_dirs[valid] * t_entry[valid, None] + cam
+    # the ±1.001 face tolerance can admit entry points a hair OUTSIDE the
+    # open cube, which the tracer's in-domain test would kill on the first
+    # iteration; nudge them inside (≤1e-3 off the exact ray line — far
+    # below a pixel footprint)
+    start[valid] = np.clip(start[valid], -1.0 + 1e-5, 1.0 - 1e-5)
     return start, valid

@@ -173,8 +173,23 @@ def _trace_segment_body(params, spec, t0, rays, active, hits, *, gt_mode,
                 fail[:, None], t0 - rays * ((omega - 1.0) * prev_d)[:, None], t0
             )
             adv = jnp.where(fail, 0.0, omega * d)
+            # an over-relaxed step that would leave [-1,1]³ must fall back
+            # to the conservative step (if that stays inside) — the domain
+            # test below would otherwise kill the ray before the next
+            # iteration's revert logic could rescue the overshoot
+            cons = jnp.where(fail, 0.0, d)
+            over_out = ~jnp.all(
+                jnp.abs(t0 + rays * adv[:, None]) < 1.0, axis=-1
+            )
+            cons_in = jnp.all(
+                jnp.abs(t0 + rays * cons[:, None]) < 1.0, axis=-1
+            )
+            clamp = active & over_out & cons_in
+            adv = jnp.where(clamp, cons, adv)
             valid_eval = ~fail
-            prev_d = jnp.where(fail, 0.0, d)
+            # a conservative step gives the next overlap test no relaxed
+            # span to check — treat it like a post-revert step
+            prev_d = jnp.where(fail | clamp, 0.0, d)
         else:
             adv = d
             valid_eval = jnp.ones_like(active)
@@ -288,9 +303,7 @@ def gather_rows(arr, idx: np.ndarray, floor: int = 1024) -> np.ndarray:
     m = len(idx)
     if m == 0:
         return np.zeros((0,) + tuple(arr.shape[1:]), np.dtype(arr.dtype))
-    cap = floor
-    while cap < m:
-        cap *= 4
+    cap = next_bucket(m, floor, factor=4)
     idx_p = np.zeros(cap, np.int64)
     idx_p[:m] = idx
     return np.asarray(arr[jnp.asarray(idx_p)])[:m]
@@ -399,7 +412,7 @@ def trace_rays_compacted(
             ),
             relaxation=relaxation,
         )
-        it += segment
+        it += min(segment, max_iterations - it)
         if count > n * pipeline_below:
             # large active set: exact buckets are worth a blocking sync
             count = int(post_count)

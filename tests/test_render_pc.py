@@ -42,6 +42,30 @@ class TestCamera:
         start, valid = cube_entry_points(rays, cam)
         assert not valid[0]
 
+    def test_look_at_y_axis_finite(self):
+        """Top-down camera: the y-up projection is degenerate on the ±y
+        axis and used to divide by zero (all-NaN rotation)."""
+        for cam in ([0.0, 2.0, 0.0], [0.0, -2.0, 0.0], [1e-9, 2.0, 0.0]):
+            R = look_at_rotation(np.array(cam))
+            assert np.isfinite(R).all()
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-9)
+            rays = world_rays(9, 9, 60, cam, noise=0.5)
+            central = rays.reshape(9, 9, 3)[4, 4]
+            want = -np.asarray(cam) / np.linalg.norm(cam)
+            assert central @ want > 0.999
+
+    def test_entry_points_strictly_inside_domain(self):
+        """Entry points must sit strictly inside the open cube: the face
+        tolerance (±1.001) could admit points the tracer's in-domain test
+        would kill on the first iteration."""
+        rng = np.random.default_rng(3)
+        for _ in range(5):
+            cam = rng.uniform(1.2, 3.0, 3) * rng.choice([-1.0, 1.0], 3)
+            rays = world_rays(48, 48, 110, cam, noise=0.5)
+            start, valid = cube_entry_points(rays, cam)
+            if valid.any():
+                assert np.abs(start[valid]).max() < 1.0
+
 
 class TestTracer:
     def test_trace_sphere(self, trained_sphere):
@@ -188,6 +212,41 @@ class TestOverRelaxation:
         if both.any():
             d = np.linalg.norm(p1[both] - p2[both], axis=1)
             assert np.median(d) < 0.05
+
+    def test_relaxed_overshoot_out_of_domain_rescued(self, monkeypatch):
+        """A surface hugging a cube face: the over-relaxed step routinely
+        overshoots OUT of [-1,1]³ there, and used to kill the ray instead
+        of falling back to the conservative step.  Uses an analytic plane
+        field (monkeypatched ``value``) so the geometry is deterministic:
+        from x0 ∈ [0.3, 0.5] toward the plane x=0.9, the very first
+        ω=1.6 step exits the +x face while the conservative step stays
+        comfortably inside and converges."""
+        from diffudf_tpu.render import tracer
+
+        alpha = 10.0
+
+        def plane_value(params, spec, pts, compute_dtype=None):
+            d = jnp.abs(0.9 - pts[:, 0])
+            return d * jnp.tanh(alpha * d)  # exact tanh-UDF of the plane
+
+        monkeypatch.setattr(tracer, "value", plane_value)
+
+        x0 = np.array([0.3, 0.38, 0.45, 0.5], np.float32)
+        t0 = jnp.asarray(np.stack(
+            [x0, np.zeros_like(x0), np.zeros_like(x0)], axis=1
+        ))
+        d = np.array([[0.8, 0.0, 0.6]], np.float32)
+        rays = jnp.asarray(np.tile(d / np.linalg.norm(d), (len(x0), 1)))
+        active = jnp.ones(len(x0), bool)
+        hits = jnp.zeros(len(x0), bool)
+        pos, act, hit = tracer._trace_segment_body(
+            None, None, t0, rays, active, hits,
+            gt_mode="tanh", alpha=alpha, surface_threshold=0.02,
+            segment=12, fast=False, use_pallas=False, relaxation=1.6,
+        )
+        pos, hit = np.asarray(pos), np.asarray(hit)
+        assert hit.all()  # old behavior: every ray killed on iteration 1
+        np.testing.assert_allclose(pos[:, 0], 0.9, atol=0.03)
 
 
 class TestShardedRendering:

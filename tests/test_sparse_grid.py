@@ -53,6 +53,25 @@ class TestSparseFields:
         assert np.quantile(cos, 0.001) > 0.99
         assert np.median(cos) > 0.9999
 
+    def test_custom_cap_threshold_widens_band(self, trained_sphere):
+        """CAP's vote signing reads dirs out to ``threshold + 2h``; with a
+        custom (large) CAP threshold the sparse band must widen to cover
+        it — the band used to hardcode 0.008 and clip the vote fringe."""
+        params, spec, r, alpha = trained_sphere
+        N = 49
+        thr = 0.15  # ≫ default 0.008 and ≫ 3.5 voxels at N=49
+        udf_d, dirs_d = (np.asarray(a) for a in
+                         extract_fields(params, spec, N, "tanh", alpha))
+        udf_s, dirs_s = extract_fields_sparse(
+            params, spec, N, "tanh", alpha, cap_threshold=thr
+        )
+        h = 2.0 / (N - 1)
+        band = udf_d <= thr + 2.0 * h
+        assert band.sum() > 1000
+        np.testing.assert_allclose(udf_s[band], udf_d[band], rtol=0, atol=1e-4)
+        cos = np.sum(dirs_s[band] * dirs_d[band], axis=-1)
+        assert np.quantile(cos, 0.001) > 0.99
+
     def test_dirs_exact_with_f32_derivatives(self, trained_sphere):
         import jax.numpy as jnp
 
