@@ -430,6 +430,61 @@ def point_triangle_distance_cells(
     return jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0))
 
 
+def build_triangle_table(tri_verts: jax.Array, cand: jax.Array) -> jax.Array:
+    """Materialise the candidate grid as per-cell vertex *coordinates*.
+
+    (T, 3, 3) triangles + (g³, k) candidate indices -> (g³, k·9) f32 rows,
+    built by ONE device gather (the indices are already device-resident;
+    shipping a host-built 382 MB table over the ~20 MB/s axon link would
+    cost ~19 s, the device gather is milliseconds).
+
+    Why coordinates, and why 2-D: the per-step scattered gather of
+    (Q, k) triangle rows was measured at 19.3 ms of a 20.8 ms oracle call
+    (Q=20480, k=96) — tiny scattered rows are an HBM worst case, exactly
+    like the point-oracle table (:func:`build_point_candidate_grid`).  A
+    contiguous (k·9)-float row per query runs in 0.9 ms — 7.4× on the
+    whole oracle.  The table MUST stay 2-D: a (g³, k, 3, 3) array tiles
+    each trailing (3, 3) into an (8, 128) TPU tile = 21.7 GB of padding;
+    (g³, k·9) pads 864 lanes to 896 (+3.7%, 396 MB).
+    """
+    g3, k = cand.shape
+    tv9 = tri_verts.reshape(-1, 9)
+
+    def gather(tv9, cand):
+        return jnp.take(tv9, cand.reshape(-1), axis=0).reshape(g3, k * 9)
+
+    return jax.jit(gather)(tv9, cand)
+
+
+def point_triangle_distance_table(
+    queries: jax.Array,
+    table: jax.Array,
+    g: int = CAND_GRID_G,
+    lo: float = CAND_GRID_LO,
+    hi: float = CAND_GRID_HI,
+):
+    """Exact-on-candidates unsigned mesh distance via the coordinate table.
+
+    queries: (Q, 3); table: (g³, k·9) from :func:`build_triangle_table`.
+    Same candidate sets (hence bit-comparable values) as
+    :func:`point_triangle_distance_cells`, but the per-step HBM access is
+    one contiguous row per query instead of k scattered triangle rows —
+    the shipping mesh-mode training oracle.
+    """
+    cell = (hi - lo) / g
+    k = table.shape[1] // 9
+    ci = jnp.clip(
+        jnp.floor((queries - lo) / cell).astype(jnp.int32), 0, g - 1
+    )
+    lin = (ci[:, 0] * g + ci[:, 1]) * g + ci[:, 2]
+    rows = table[lin]  # (Q, k·9) contiguous row gather
+    tv = rows.reshape(-1, k, 9)
+    d2 = _closest_point_sq_dist(
+        queries[:, None, :], tv[:, :, 0:3], tv[:, :, 3:6], tv[:, :, 6:9]
+    )
+    return jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0))
+
+
 CAND_PTS_K = 64  # candidate cloud points per cell
 
 

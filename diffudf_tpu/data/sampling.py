@@ -32,9 +32,11 @@ from ..utils.buckets import next_bucket
 from .mesh_distance import (
     build_candidate_grid,
     build_point_candidate_grid,
+    build_triangle_table,
     point_cloud_distance,
     point_cloud_distance_cells,
     point_triangle_distance_cells,
+    point_triangle_distance_table,
 )
 
 
@@ -96,8 +98,9 @@ class TrainingSampler:
     surface_points: jax.Array  # (N, 3) f32
     surface_normals: jax.Array  # (N, 3) f32
     static: SamplerStatic
-    tri_verts: jax.Array | None = None  # (T, 3, 3) for the mesh oracle
+    tri_verts: jax.Array | None = None  # (T, 3, 3) for the indices mesh oracle
     tri_candidates: jax.Array | None = None  # (G³, K) per-cell candidates
+    tri_table: jax.Array | None = None  # (G³, K·9) per-cell triangle coords
     pc_candidates: jax.Array | None = None  # (G³, K, 3) per-cell point table
 
     @classmethod
@@ -118,30 +121,49 @@ class TrainingSampler:
 
     @classmethod
     def from_mesh(cls, points, normals, tri_verts, batch_size, percentiles,
-                  stddev=0.01, pad_triangles: bool = True):
-        """``pad_triangles`` pads the triangle count to a fixed bucket
-        (power of two above ``TRI_PAD_BUCKET`` for giant meshes) with
-        degenerate far-away triangles, so meshes with different face
-        counts share one compiled train step (and one persistent-cache
-        entry)."""
+                  stddev=0.01, pad_triangles: bool = True,
+                  oracle_layout: str = "table"):
+        """``oracle_layout="table"`` (default) materialises the candidate
+        grid as per-cell triangle *coordinates* (``build_triangle_table``):
+        the per-step oracle becomes one contiguous row gather — 7.4× faster
+        than the scattered per-triangle gather of the ``"indices"`` layout
+        (measured 20.8 → 2.8 ms at Q=20480, k=96) — and the table shape is
+        the same for every mesh, so compiled train steps are shared across
+        shapes with no triangle padding at all.
+
+        ``oracle_layout="indices"`` keeps the index grid + triangle array
+        (396 MB → ~47 MB of HBM, for memory-constrained many-shape
+        scenarios); there ``pad_triangles`` pads the triangle count to a
+        fixed bucket (power of two above ``TRI_PAD_BUCKET`` for giant
+        meshes) with degenerate far-away triangles, so meshes with
+        different face counts still share one compiled train step."""
         sizes = BatchSizes.from_config(batch_size, percentiles)
-        tv = np.asarray(tri_verts, np.float32)
+        # candidates come from the REAL triangles only (indices are stable
+        # under padding; padded far-away degenerates can never be nearest,
+        # and coincident padding points degrade the KD-tree badly)
+        real = np.asarray(tri_verts, np.float32)
+        cand = build_candidate_grid(real)
+        if oracle_layout == "table":
+            return cls(
+                surface_points=jnp.asarray(points, jnp.float32),
+                surface_normals=jnp.asarray(normals, jnp.float32),
+                static=SamplerStatic(sizes, "mesh", stddev),
+                tri_table=build_triangle_table(jnp.asarray(real), cand),
+            )
+        if oracle_layout != "indices":
+            raise ValueError(f"unknown oracle_layout: {oracle_layout!r}")
+        tv = real
         if pad_triangles and len(tv):
             t_pad = next_bucket(len(tv), cls.TRI_PAD_BUCKET)
             if t_pad > len(tv):
                 far = np.full((t_pad - len(tv), 3, 3), 11.0, np.float32)
                 tv = np.concatenate([tv, far])
-        tvd = jnp.asarray(tv)
-        # candidates come from the REAL triangles only (indices are stable
-        # under padding; padded far-away degenerates can never be nearest,
-        # and coincident padding points degrade the KD-tree badly)
-        real = np.asarray(tri_verts, np.float32)
         return cls(
             surface_points=jnp.asarray(points, jnp.float32),
             surface_normals=jnp.asarray(normals, jnp.float32),
             static=SamplerStatic(sizes, "mesh", stddev),
-            tri_verts=tvd,
-            tri_candidates=build_candidate_grid(real),
+            tri_verts=jnp.asarray(tv),
+            tri_candidates=cand,
         )
 
     def local(self, n_devices: int) -> "TrainingSampler":
@@ -200,10 +222,13 @@ class TrainingSampler:
             # the oracle skip the O(Q·T) generalized-winding sweep and use
             # the candidate-grid closest-point kernel (exact per candidate
             # set, ~point-cloud-oracle speed).
-            both = point_triangle_distance_cells(
-                jnp.concatenate([far_pts, near_pts], axis=0),
-                self.tri_verts, self.tri_candidates,
-            )
+            q = jnp.concatenate([far_pts, near_pts], axis=0)
+            if self.tri_table is not None:
+                both = point_triangle_distance_table(q, self.tri_table)
+            else:
+                both = point_triangle_distance_cells(
+                    q, self.tri_verts, self.tri_candidates
+                )
             far_sdf = both[: sz.far]
             near_sdf = both[sz.far :]
         elif self.pc_candidates is not None:
@@ -229,6 +254,6 @@ class TrainingSampler:
 jax.tree_util.register_dataclass(
     TrainingSampler,
     data_fields=["surface_points", "surface_normals", "tri_verts",
-                 "tri_candidates", "pc_candidates"],
+                 "tri_candidates", "tri_table", "pc_candidates"],
     meta_fields=["static"],
 )

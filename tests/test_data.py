@@ -375,13 +375,39 @@ class TestSampling:
         m = make_cube()
         pts, nrm = sample_surface_points(m, 100, seed=2)
         tris = np.asarray(m.vertices[m.faces])  # 12 triangles
-        sampler = TrainingSampler.from_mesh(pts, nrm, tris, 30, [0.333, 0.666])
+        sampler = TrainingSampler.from_mesh(
+            pts, nrm, tris, 30, [0.333, 0.666], oracle_layout="indices"
+        )
         # padded to the fixed compile-sharing bucket with far degenerates
         assert sampler.tri_verts.shape[0] == TrainingSampler.TRI_PAD_BUCKET
         # candidates index only the 12 REAL triangles, repeated to the
         # fixed k width (padded degenerates are never candidates)
         assert sampler.tri_candidates.shape[1] == 96
         assert int(np.asarray(sampler.tri_candidates).max()) < 12
+
+    def test_mesh_sampler_table_layout_matches_indices(self):
+        """The default coordinate-table oracle returns the same GT
+        distances as the scattered-indices layout (same candidate sets,
+        different HBM access pattern), and its table shape is
+        mesh-independent (compile sharing without triangle padding)."""
+        from diffudf_tpu.data.mesh_distance import CAND_GRID_G, CAND_GRID_K
+
+        m = make_cube()
+        pts, nrm = sample_surface_points(m, 100, seed=2)
+        tris = np.asarray(m.vertices[m.faces])
+        s_tab = TrainingSampler.from_mesh(pts, nrm, tris, 60, [0.333, 0.666])
+        s_idx = TrainingSampler.from_mesh(
+            pts, nrm, tris, 60, [0.333, 0.666], oracle_layout="indices"
+        )
+        assert s_tab.tri_table.shape == (CAND_GRID_G**3, CAND_GRID_K * 9)
+        assert s_tab.tri_verts is None and s_tab.tri_candidates is None
+        key = jax.random.PRNGKey(3)
+        p_t, n_t, d_t = jax.jit(s_tab.sample)(key)
+        p_i, n_i, d_i = jax.jit(s_idx.sample)(key)
+        np.testing.assert_array_equal(np.asarray(p_t), np.asarray(p_i))
+        np.testing.assert_allclose(
+            np.asarray(d_t), np.asarray(d_i), atol=1e-6
+        )
 
     def test_batch_sizes_match_reference_split(self):
         from diffudf_tpu.data.sampling import BatchSizes
