@@ -3,7 +3,7 @@
 Runs the full reference recipe (3000 epochs, 8×256 SIREN, α=100, N=256
 extraction with both MC algorithms) on the reference's demo shape and
 writes ``results/results_beetle.csv`` with the reference benchmark schema
-(``cuantitative.py:62-63``).  The recorded per-shape time is ~73 s on one
+(``cuantitative.py:62-63``).  The recorded per-shape time is ~41 s on one
 TPU v5e chip with a warm compilation cache (reference single-GPU baseline:
 363–398 s/shape); a cold cache adds one-time XLA compiles on top.
 
