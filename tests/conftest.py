@@ -12,6 +12,18 @@ import os
 # updates work any time before backend initialisation.
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# 8 virtual CPU devices share this box's (possibly single) core, so an
+# 8-participant collective is 8 *threads* rendezvousing — under load a thread
+# can miss XLA's CPU rendezvous deadline and rendezvous.cc abort()s the whole
+# process (observed as pytest exit 134 mid-suite).  Raise the termination
+# deadline far above any realistic scheduling delay; XLA_FLAGS is read at
+# backend initialisation, which happens after conftest even when a pytest
+# plugin imported jax first.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=900"
+).strip()
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

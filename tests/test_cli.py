@@ -45,7 +45,11 @@ def trained_dir(demo_dir):
         "network": {"hidden_layer_nodes": [32, 32], "w0": 30, "pretrained_dict": "None"},
         "resolution": 24,
     })
-    t, meshes, state = setup_train(cfg, verbose=False)
+    # Pin a single-device run: this fixture smoke-tests CLI artifacts, and
+    # the default all-device DP mesh (8 virtual CPU devices on possibly one
+    # core) is slow and rendezvous-fragile here.  The DP CLI path has its own
+    # dedicated test below (setup_train with n_mesh_devices=8).
+    t, meshes, state = setup_train(cfg, verbose=False, n_mesh_devices=1)
     return demo_dir / "results" / "exp", meshes, state
 
 
