@@ -31,8 +31,24 @@ jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
 jax.config.update("jax_default_matmul_precision", "highest")
 
+import faulthandler  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _hang_watchdog():
+    """Per-test deadlock backstop (pytest-timeout is not in the image).
+
+    The XLA collective deadline above already aborts a stuck CPU
+    rendezvous at 900 s; this catches everything else (host-side deadlock,
+    runaway compile) by dumping all thread tracebacks and hard-exiting
+    instead of hanging the suite indefinitely.  20 min ≫ the slowest
+    legitimate test."""
+    faulthandler.dump_traceback_later(1200, exit=True)
+    yield
+    faulthandler.cancel_dump_traceback_later()
 
 
 @pytest.fixture

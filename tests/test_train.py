@@ -164,8 +164,11 @@ def sphere_sampler(rng, n_cloud=2000, batch=384):
     pts = rng.normal(size=(n_cloud, 3))
     pts /= np.linalg.norm(pts, axis=1, keepdims=True)
     pts *= 0.7
+    # exact thirds: [surf|far|near] groups divide the 8-device test mesh,
+    # so these tests exercise the fast DP path instead of tripping the
+    # non-divisible-group fallback warning
     return TrainingSampler.from_point_cloud(
-        pts.astype(np.float32), (pts / 0.7).astype(np.float32), batch, [0.333, 0.666]
+        pts.astype(np.float32), (pts / 0.7).astype(np.float32), batch, (1 / 3, 2 / 3)
     )
 
 
