@@ -36,6 +36,19 @@ DEFAULT_CONFIG = {
 }
 
 
+def _git_rev() -> str:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__)))),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def mesh_metrics(mesh: Mesh, gt_points, gt_normals):
     """-> (L1CD, L2CD, NC) vs the GT cloud (pytorch3d conventions)."""
     vn = mesh.compute_vertex_normals()
@@ -69,6 +82,9 @@ def main(argv=None):
                         help="data-parallel training over exactly the first "
                              "N devices; N=1 pins one device; default all "
                              "(see cli.train --mesh)")
+    parser.add_argument("--no-provenance", action="store_true",
+                        help="skip the ~10 s platform-numerics fingerprint "
+                             "sidecar (results_provenance.json)")
     args = parser.parse_args(argv)
 
     base = dict(DEFAULT_CONFIG)
@@ -81,6 +97,21 @@ def main(argv=None):
     if not osp.exists(results_path):
         with open(results_path, "w") as fh:
             fh.write(CSV_HEADER)
+
+    # Provenance sidecar: normal-consistency endpoints carry a platform-
+    # service-version band (PERFORMANCE.md "Platform numerics drift"), so
+    # every results.csv records the numerics fingerprint it was measured
+    # under.  ~10 s warm; shares compiled graphs with the sweep itself.
+    prov_path = osp.join(args.outfolder, "results_provenance.json")
+    if not args.no_provenance and not osp.exists(prov_path):
+        from ..utils.drift import fingerprint
+
+        prov = fingerprint()
+        prov["git_rev"] = _git_rev()
+        with open(prov_path, "w") as fh:
+            json.dump(prov, fh, indent=1)
+            fh.write("\n")
+        print(f"Platform fingerprint: {prov['final_loss']} / {prov['param_sum']}")
 
     for dirpath, _, filenames in os.walk(args.dataset):
         pcs = [f for f in filenames if f.endswith("_pc.ply")]

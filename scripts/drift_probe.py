@@ -22,7 +22,6 @@ of other days, with Chamfer-L1 unaffected.
 """
 
 import argparse
-import datetime
 import json
 import os.path as osp
 import sys
@@ -39,46 +38,11 @@ def main(argv=None):
                    help="batch size (reduce for a quick CPU smoke run)")
     args = p.parse_args(argv)
 
-    import jax
-    import numpy as np
-
-    from diffudf_tpu.config import TrainConfig
-    from diffudf_tpu.data.sampling import TrainingSampler
-    from diffudf_tpu.fields.siren import SirenSpec
-    from diffudf_tpu.train.loop import Trainer
     from diffudf_tpu.utils.cache import enable_compilation_cache
+    from diffudf_tpu.utils.drift import fingerprint
 
     enable_compilation_cache()
-
-    rng = np.random.default_rng(7)
-    pts = rng.normal(size=(20000, 3)).astype(np.float32)
-    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
-    normals = pts.copy()
-    pts = (0.7 * pts).astype(np.float32)
-
-    cfg = TrainConfig(
-        num_epochs=args.epochs, s1_epochs=args.epochs, warmup_epochs=0,
-        batch_size=args.batch, alpha=10.0, seed=123,
-        lr_s1=1e-5, lr_s2=1e-7,
-    )
-    spec = SirenSpec(hidden=(256,) * 8)
-    sampler = TrainingSampler.from_point_cloud(
-        pts, normals, cfg.batch_size, cfg.sampling_percentiles
-    )
-    trainer = Trainer(spec, sampler, cfg)
-    state, _, _ = trainer.run()
-    params = state.best_params
-    leaves = jax.tree_util.tree_leaves(params)
-    param_sum = float(sum(np.float64(np.asarray(l, np.float64).sum()) for l in leaves))
-    rec = {
-        "date": datetime.date.today().isoformat(),
-        "platform": jax.devices()[0].platform,
-        "device": str(jax.devices()[0]),
-        "jax": jax.__version__,
-        "epochs": args.epochs,
-        "final_loss": float(state.best_loss),
-        "param_sum": param_sum,
-    }
+    rec = fingerprint(epochs=args.epochs, batch=args.batch)
     print(json.dumps(rec))
     if args.log:
         path = osp.join(osp.dirname(__file__), "..", "results", "drift_log.jsonl")
