@@ -30,11 +30,55 @@ from ..train import checkpoint as ckpt
 
 VALID_ALGORITHMS = ("meshudf", "cap", "both", "siren")
 
+# One-key quality presets bundling the extraction knobs (VERDICT r3 item 5).
+# "parity": every documented deviation off — reference-exact extraction
+#   (anchor-signed raw CAP soup, Lewiner-33 tables, no pruning/smoothing).
+# "default" (or None): the shipping defaults (vote signing + face prune +
+#   light Taubin on both MC paths — same geometry class, far better
+#   normals; each knob individually switchable).
+# "enhanced": beyond-reference vertex quality — N≥385 sparse extraction,
+#   2 zero-set reprojection steps, Taubin 10 (the combination measured at
+#   beetle L1 6.77e-3 / NC 0.045, results_beetle_enhanced.csv; halves the
+#   staircase-limited trefoil NC).  Preset values override the individual
+#   keyword knobs they name.
+QUALITY_PRESETS = {
+    "parity": dict(refine_steps=0, taubin_iters=0, triangulator="lewiner33",
+                   cap_signing="anchor", cap_face_prune_voxels=None,
+                   cap_taubin=0, mu_face_prune_voxels=None, mu_taubin=0),
+    "default": {},
+    "enhanced": dict(refine_steps=2, taubin_iters=10, min_resolution=385),
+}
+
+
+def resolve_quality(quality, N, knobs):
+    """Merge a ``QUALITY_PRESETS`` entry over the individual knob values.
+
+    -> (N, knobs dict) with preset values overriding the knobs they name
+    (``min_resolution`` only raises N, never lowers it; ``triangulator``
+    only fills in an unset one).  Raises ValueError on an unknown preset.
+    """
+    if quality is not None and quality not in QUALITY_PRESETS:
+        raise ValueError(
+            f"Invalid quality {quality!r}; expected one of {sorted(QUALITY_PRESETS)}"
+        )
+    preset = QUALITY_PRESETS.get(quality or "default", {})
+    out = dict(knobs)
+    for key, val in preset.items():
+        if key == "min_resolution":
+            N = max(N, val)
+        elif key == "triangulator":
+            if out.get("triangulator") is None:
+                out["triangulator"] = val
+        else:
+            out[key] = val
+    return N, out
+
 
 def run_mc(params, spec, gt_mode, N, output_path, alpha=None, algorithm="meshudf",
            mesh=None, triangulator=None, sparse=True, refine_steps=0,
            taubin_iters=0, use_pallas=None, cap_signing="vote",
-           cap_face_prune_voxels=1.0, cap_taubin=3):
+           cap_face_prune_voxels=1.0, cap_taubin=3,
+           mu_face_prune_voxels=1.0, mu_taubin=3, quality=None):
     """Extract and save mesh(es); returns Mesh or (meshMU, meshCAP).
 
     triangulator: "mc33" (default), "lewiner33" (reference-exact tables
@@ -49,8 +93,30 @@ def run_mc(params, spec, gt_mode, N, output_path, alpha=None, algorithm="meshudf
     taubin_iters=10`` is the measured sweet spot on the beetle recipe
     (Chamfer-L1 9.77→8.50e-3, NC 0.060→0.048 — both beating the raw MC
     mesh); 0/0 (default) = reference-parity vertices.
+    mu_face_prune_voxels / mu_taubin: the MeshUDF-path counterparts of the
+    CAP cleanup knobs (prune faces whose centroid UDF exceeds this many
+    voxels; light shrink-free Taubin) — the reference has the prune stubbed
+    out (``render_mc.py:142``) and no smoothing; with them MU recovers the
+    reference's *published* NC ordering (MU ≤ CAP, BASELINE.md) that raw
+    MC-staircase normals otherwise lose.  None/0 = parity.
+    quality: preset name bundling these knobs — see ``QUALITY_PRESETS``.
     """
     from ..extract.triangulate import DEFAULT_TRIANGULATOR
+
+    N, knobs = resolve_quality(quality, N, dict(
+        triangulator=triangulator, refine_steps=refine_steps,
+        taubin_iters=taubin_iters, cap_signing=cap_signing,
+        cap_face_prune_voxels=cap_face_prune_voxels, cap_taubin=cap_taubin,
+        mu_face_prune_voxels=mu_face_prune_voxels, mu_taubin=mu_taubin,
+    ))
+    triangulator = knobs["triangulator"]
+    refine_steps = knobs["refine_steps"]
+    taubin_iters = knobs["taubin_iters"]
+    cap_signing = knobs["cap_signing"]
+    cap_face_prune_voxels = knobs["cap_face_prune_voxels"]
+    cap_taubin = knobs["cap_taubin"]
+    mu_face_prune_voxels = knobs["mu_face_prune_voxels"]
+    mu_taubin = knobs["mu_taubin"]
 
     if triangulator is None:
         triangulator = DEFAULT_TRIANGULATOR
@@ -100,14 +166,16 @@ def run_mc(params, spec, gt_mode, N, output_path, alpha=None, algorithm="meshudf
         print(f"Saved to {output_path}")
         return m
     if algorithm == "meshudf":
-        verts, faces = extract_mesh_meshudf(udf, dirs, triangulator=triangulator)
+        verts, faces = _mu_postprocessed(udf, dirs, triangulator,
+                                         mu_face_prune_voxels, mu_taubin)
         m = Mesh(_refine(verts, faces), faces)
         save_mesh(output_path, m)
         print(f"Saved to {output_path}")
         return m
     if algorithm == "both":
         stem, ext = os.path.splitext(output_path)
-        verts, faces = extract_mesh_meshudf(udf, dirs, triangulator=triangulator)
+        verts, faces = _mu_postprocessed(udf, dirs, triangulator,
+                                         mu_face_prune_voxels, mu_taubin)
         mesh_mu = Mesh(_refine(verts, faces), faces)
         save_mesh(stem + "_MU" + ext, mesh_mu)
         verts, faces = _cap_postprocessed(udf, dirs, N, triangulator, cap_signing,
@@ -117,6 +185,35 @@ def run_mc(params, spec, gt_mode, N, output_path, alpha=None, algorithm="meshudf
         print(f"Saved to {stem + '_MU' + ext}, {stem + '_CAP' + ext}")
         return mesh_mu, mesh_cap
     raise ValueError(f"Invalid algorithm {algorithm!r}")
+
+
+def _mu_postprocessed(udf, dirs, triangulator, mu_face_prune_voxels=1.0,
+                      mu_taubin=3):
+    """MeshUDF extraction + the CLI cleanup knobs.
+
+    ``extract_mesh_meshudf`` already performs the reference's own cleanup
+    chain (dedupe / degenerate / border smoothing, ``render_mc.py:148-197``).
+    On top of it, mirroring the CAP path's round-3 treatment (both with
+    parity-off switches):
+
+      * ``mu_face_prune_voxels`` — centroid-UDF face prune; the reference
+        has this step stubbed out for MU (``render_mc.py:142``);
+      * ``mu_taubin`` — light shrink-free Taubin smoothing, removing the
+        MC-staircase normal noise that put MU's NC *behind* CAP's (the
+        reference publishes MU ahead: NC 0.019/0.020 vs 0.024/0.025,
+        BASELINE.md — restored by this knob).
+    """
+    from ..extract.triangulate import DEFAULT_TRIANGULATOR
+
+    verts, faces = extract_mesh_meshudf(
+        udf, dirs, triangulator=triangulator or DEFAULT_TRIANGULATOR,
+        max_face_dist_voxels=mu_face_prune_voxels,
+    )
+    if mu_taubin:
+        from ..extract.postprocess import taubin_smooth
+
+        verts = taubin_smooth(verts, faces, iterations=mu_taubin)
+    return verts, faces
 
 
 def _cap_postprocessed(udf, dirs, N, triangulator=None, cap_signing="vote",
@@ -203,6 +300,9 @@ def main(argv=None):
         cap_signing=cfg.get("cap_signing", "vote"),
         cap_face_prune_voxels=cfg.get("cap_face_prune_voxels", 1.0),
         cap_taubin=cfg.get("cap_taubin", 3),
+        mu_face_prune_voxels=cfg.get("mu_face_prune_voxels", 1.0),
+        mu_taubin=cfg.get("mu_taubin", 3),
+        quality=cfg.get("quality"),
     )
 
 

@@ -73,6 +73,7 @@ def generate_final_meshes(params, spec, cfg: TrainConfig, out_dir: str, mesh_ctx
     return run_mc(
         params, spec, cfg.gt_mode, cfg.resolution,
         osp.join(out_dir, "mc_mesh_best.obj"), cfg.alpha, algorithm,
+        quality=cfg.quality,
     )
 
 

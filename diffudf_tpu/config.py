@@ -61,6 +61,11 @@ class TrainConfig:
     resolution: int = 256
     only_pcloud: bool = False
     seed: int = 123
+    # extraction quality preset for the post-train reconstructions:
+    # "parity" (reference-exact extraction), "default" (shipping cleanup
+    # knobs), "enhanced" (N>=385 + vertex reprojection + Taubin 10) — see
+    # cli.generate_mc.QUALITY_PRESETS
+    quality: str = "default"
     # dtype for the J/H derivative carries in the training loss:
     # 'bfloat16' (default, ~1.8x faster on the bandwidth-bound TPU step,
     # ≲0.4% relative derivative noise) or 'float32' (exact reference parity)
@@ -107,6 +112,7 @@ class TrainConfig:
             only_pcloud=d.get("onlyPCloud", False),
             seed=d.get("seed", 123),
             deriv_dtype=d.get("deriv_dtype", "bfloat16"),
+            quality=d.get("quality", "default"),
         )
 
     @classmethod
@@ -149,4 +155,5 @@ class TrainConfig:
             "resolution": self.resolution,
             "onlyPCloud": self.only_pcloud,
             "seed": self.seed,
+            "quality": self.quality,
         }

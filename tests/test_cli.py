@@ -166,7 +166,8 @@ class TestQuantitative:
             "optimizer": {"type": "adam", "lr_s1": 1e-4, "lr_s2": 1e-6},
         }))
         out = tmp_path / "out"
-        quantitative.main([str(tmp_path / "data"), str(out), "--config", str(cfg)])
+        quantitative.main([str(tmp_path / "data"), str(out), "--config", str(cfg),
+                           "--no-provenance"])
 
         rows = (out / "results.csv").read_text().strip().splitlines()
         assert rows[0].startswith("mesh,time,L1CD_CAP")
@@ -178,8 +179,91 @@ class TestQuantitative:
         assert params["onlyPCloud"] is True
         # re-running skips the already-trained shape (failure/resume
         # semantics, reference cuantitative.py:68-69) — row count unchanged
-        quantitative.main([str(tmp_path / "data"), str(out), "--config", str(cfg)])
+        quantitative.main([str(tmp_path / "data"), str(out), "--config", str(cfg),
+                           "--no-provenance"])
         assert len((out / "results.csv").read_text().strip().splitlines()) == 2
+
+    def test_provenance_sidecar(self, tmp_path, monkeypatch):
+        """results_provenance.json records the platform fingerprint + rev."""
+        from diffudf_tpu.cli import quantitative
+        from diffudf_tpu.utils import drift
+
+        monkeypatch.setattr(
+            drift, "fingerprint",
+            lambda **kw: {"date": "2026-01-01", "platform": "cpu",
+                          "final_loss": 1.0, "param_sum": 2.0},
+        )
+        (tmp_path / "data").mkdir()  # empty dataset: no shapes, just sidecar
+        out = tmp_path / "out"
+        quantitative.main([str(tmp_path / "data"), str(out)])
+        prov = json.loads((out / "results_provenance.json").read_text())
+        assert prov["final_loss"] == 1.0
+        assert prov["git_rev"]  # non-empty ("unknown" allowed outside git)
+
+
+class TestQualityPresets:
+    def test_invalid_name_raises(self):
+        from diffudf_tpu.cli.generate_mc import resolve_quality
+
+        with pytest.raises(ValueError, match="quality"):
+            resolve_quality("bogus", 256, {})
+
+    def test_default_and_none_are_noop(self):
+        from diffudf_tpu.cli.generate_mc import resolve_quality
+
+        knobs = dict(triangulator=None, cap_taubin=3, mu_taubin=3)
+        for q in (None, "default"):
+            n, resolved = resolve_quality(q, 256, knobs)
+            assert n == 256 and resolved == knobs
+
+    def test_parity_turns_every_deviation_off(self):
+        from diffudf_tpu.cli.generate_mc import resolve_quality
+
+        n, k = resolve_quality("parity", 256, dict(
+            triangulator=None, refine_steps=5, taubin_iters=5,
+            cap_signing="vote", cap_face_prune_voxels=1.0, cap_taubin=3,
+            mu_face_prune_voxels=1.0, mu_taubin=3,
+        ))
+        assert n == 256
+        assert k["triangulator"] == "lewiner33"
+        assert k["refine_steps"] == 0 and k["taubin_iters"] == 0
+        assert k["cap_signing"] == "anchor"
+        assert k["cap_face_prune_voxels"] is None and k["cap_taubin"] == 0
+        assert k["mu_face_prune_voxels"] is None and k["mu_taubin"] == 0
+
+    def test_parity_keeps_explicit_triangulator(self):
+        from diffudf_tpu.cli.generate_mc import resolve_quality
+
+        _, k = resolve_quality("parity", 64, {"triangulator": "mc33"})
+        assert k["triangulator"] == "mc33"
+
+    def test_enhanced_raises_resolution_only(self):
+        from diffudf_tpu.cli.generate_mc import resolve_quality
+
+        n, k = resolve_quality("enhanced", 256, dict(
+            triangulator=None, refine_steps=0, taubin_iters=0))
+        assert n == 385  # min_resolution floor
+        assert k["refine_steps"] == 2 and k["taubin_iters"] == 10
+        n2, _ = resolve_quality("enhanced", 512, {})
+        assert n2 == 512  # never lowers an explicit higher N
+
+    def test_config_round_trip(self):
+        d = TrainConfig.from_dict({"quality": "enhanced"}).to_dict()
+        assert d["quality"] == "enhanced"
+        assert TrainConfig.from_dict({}).quality == "default"
+
+    def test_run_mc_parity_smoke(self, trained_dir, tmp_path):
+        """quality='parity' plumbs through a real (tiny) extraction."""
+        from diffudf_tpu.cli.generate_mc import run_mc
+
+        _, _, state = trained_dir
+        from diffudf_tpu.fields.siren import SirenSpec
+
+        spec = SirenSpec(hidden=(32, 32))
+        m = run_mc(state.best_params, spec, "tanh", 24,
+                   str(tmp_path / "m.obj"), alpha=10, algorithm="cap",
+                   quality="parity")
+        assert len(m.faces) > 0
 
 
 class TestGenerateDF:
