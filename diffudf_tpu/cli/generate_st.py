@@ -53,6 +53,11 @@ def create_projectional_image(
 
     gt_mode = network_config["gt_mode"]
     alpha = network_config.get("alpha", 1.0)
+    # "fast_march": mixed-bf16 field evals inside the march (default; ~2×
+    # on TPU, step-length error ≲1% ≪ the convergence tolerance).  False =
+    # f32 march, bit-faithful to the reference's hit set at silhouettes
+    # (the end-to-end golden runs this mode).
+    fast = rendering_config.get("fast_march", True)
 
     if mesh is not None and mesh.size > 1:
         rays_p, n_real = _pad(np.asarray(rays, np.float32), mesh.size)
@@ -64,6 +69,7 @@ def create_projectional_image(
             gt_mode=gt_mode, alpha=alpha,
             surface_threshold=rendering_config["surface_threshold"],
             max_iterations=rendering_config.get("max_iterations", 100),
+            fast=fast,
             mesh=mesh,
         )
         positions = positions[:n_real]
@@ -78,6 +84,7 @@ def create_projectional_image(
             surface_threshold=rendering_config["surface_threshold"],
             max_iterations=rendering_config.get("max_iterations", 100),
             relaxation=rendering_config.get("relaxation", 1.0),
+            fast=fast,
             return_device=True,
             # one-shot CLI: the XLA march compiles once ever (persistent
             # cache); the Pallas kernel would recompile per bucket (~1 min
