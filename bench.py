@@ -3,23 +3,54 @@
 
 Workload = the reference's headline recipe (BASELINE.md): 8×256 SIREN,
 30k-point batches (1/3 surface / 1/3 far / 1/3 near), full loss_s1
-(value+grad+Hessian+eigh+backward) with on-device point-cloud GT sampling —
-i.e. one reference "epoch" per step.
+(value+grad+Hessian+eigh+backward) with on-device GT sampling — i.e. one
+reference "epoch" per step.
 
 Prints ONE json line:
   {"metric": "train_steps_per_sec", "value": N, "unit": "steps/s",
    "vs_baseline": R}
 vs_baseline is against the reference's 3000 epochs / 398 s = 7.54 steps/s
 (DeepFashion PC-input table, BASELINE.md).
+
+``--mode pc`` (default, the driver's path) uses the candidate-grid *point*
+oracle (the reference's published-table input mode, ``onlyPCloud``);
+``--mode mesh`` uses the exact point-triangle *coordinate-table* oracle on
+a synthetic triangulated sphere (the reference paper's primary input mode,
+``src/dataset.py:14-70``) and also writes ``results/BENCH_mesh.json``.
 """
 
+import argparse
 import json
+import os
 import time
 
 import numpy as np
 
 
+def _uv_sphere(radius=0.7, n_theta=48, n_phi=96):
+    """Triangulated UV sphere -> (verts (V,3), faces (F,3)) float32/int32."""
+    th = np.linspace(0, np.pi, n_theta)
+    ph = np.linspace(0, 2 * np.pi, n_phi, endpoint=False)
+    tt, pp = np.meshgrid(th, ph, indexing="ij")
+    verts = radius * np.stack(
+        [np.sin(tt) * np.cos(pp), np.sin(tt) * np.sin(pp), np.cos(tt)], axis=-1
+    ).reshape(-1, 3)
+    faces = []
+    for i in range(n_theta - 1):
+        for j in range(n_phi):
+            a = i * n_phi + j
+            b = i * n_phi + (j + 1) % n_phi
+            c = a + n_phi
+            d = b + n_phi
+            faces.append((a, b, c))
+            faces.append((b, d, c))
+    return verts.astype(np.float32), np.asarray(faces, np.int32)
+
+
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--mode", choices=("pc", "mesh"), default="pc")
+    args = parser.parse_args()
     import jax
     import jax.numpy as jnp
 
@@ -48,9 +79,16 @@ def main():
         lr_s1=1e-5, lr_s2=1e-7, warmup_lr=1e-4,
     )
     spec = SirenSpec(hidden=(256,) * 8)
-    sampler = TrainingSampler.from_point_cloud(
-        pts, normals, cfg.batch_size, cfg.sampling_percentiles
-    )
+    if args.mode == "mesh":
+        verts, faces = _uv_sphere()
+        tris = verts[faces]  # (F, 3, 3)
+        sampler = TrainingSampler.from_mesh(
+            pts, normals, tris, cfg.batch_size, cfg.sampling_percentiles
+        )
+    else:
+        sampler = TrainingSampler.from_point_cloud(
+            pts, normals, cfg.batch_size, cfg.sampling_percentiles
+        )
     trainer = Trainer(spec, sampler, cfg)
     state = trainer.init_state()
 
@@ -74,12 +112,19 @@ def main():
 
     steps_per_sec = n_steps / dt
     baseline = 3000.0 / 398.0  # reference steps/s (BASELINE.md)
-    print(json.dumps({
-        "metric": "train_steps_per_sec",
+    rec = {
+        "metric": "train_steps_per_sec" if args.mode == "pc"
+        else "train_steps_per_sec_mesh",
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / baseline, 2),
-    }))
+    }
+    print(json.dumps(rec))
+    if args.mode == "mesh":
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "results", "BENCH_mesh.json"), "w") as fh:
+            json.dump(rec, fh)
+            fh.write("\n")
 
 
 if __name__ == "__main__":
