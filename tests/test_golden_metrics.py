@@ -27,15 +27,19 @@ def golden():
     return np.load(GOLDEN)
 
 
+@pytest.mark.parametrize("backend", ["device", "host"])
 @pytest.mark.parametrize("case", CASES)
 @pytest.mark.parametrize("norm", [1, 2])
-def test_chamfer_and_nc_match_reference(golden, case, norm):
+def test_chamfer_and_nc_match_reference(golden, case, norm, backend):
     verts = golden[f"{case}_verts"]
     vnorms = golden[f"{case}_vnorms"]
     pts = golden[f"{case}_pts"]
     pnorms = golden[f"{case}_pnorms"]
 
-    cd, nc = chamfer_distance(verts, pts, vnorms, pnorms, norm=norm)
+    if backend == "host":
+        pytest.importorskip("scipy.spatial")
+    cd, nc = chamfer_distance(verts, pts, vnorms, pnorms, norm=norm,
+                              backend=backend)
     cd_ref = float(golden[f"{case}_cd_l{norm}"])
     nc_ref = float(golden[f"{case}_nc_l{norm}"])
 
