@@ -158,7 +158,7 @@ def _trace_segment_body(params, spec, t0, rays, active, hits, *, gt_mode,
 
     def field(pts):
         if use_pallas:
-            return value_pallas(params, spec, pts)
+            return value_pallas(params, spec, pts, compute_dtype=compute_dtype)
         return value(params, spec, pts, compute_dtype=compute_dtype)
 
     omega = float(relaxation)

@@ -147,6 +147,26 @@ class TestPallasValue:
         f0 = value(params, spec, x)
         np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=1e-5)
 
+    def test_value_bf16_matches_xla_bf16(self, interp):
+        """Mixed-bf16 kernel == the XLA bf16 march path to rounding noise,
+        and stays within march tolerance (~1e-3) of the f32 value."""
+        import diffudf_tpu.ops.pallas_value as pval
+
+        pval.pl.pallas_call = pv.pl.pallas_call
+        from diffudf_tpu.autodiff.ops import value
+
+        spec = SirenSpec(hidden=(64,) * 4)
+        params = init_siren(jax.random.PRNGKey(0), spec)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2048, 3), minval=-1, maxval=1)
+        fb = pval.value_pallas(params, spec, x, tile=1024,
+                               compute_dtype=jnp.bfloat16)
+        f0 = value(params, spec, x)
+        fx = value(params, spec, x, compute_dtype=jnp.bfloat16)
+        # same mixed-precision recipe -> near-identical rounding
+        np.testing.assert_allclose(np.asarray(fb), np.asarray(fx), atol=2e-3)
+        # and the absolute error vs f32 stays inside the hit threshold scale
+        assert np.abs(np.asarray(fb) - np.asarray(f0)).max() < 2e-2
+
 
 class TestBf16Kernels:
     """compute_dtype=bf16: MXU inputs rounded, f32 accumulation — results
