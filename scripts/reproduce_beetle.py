@@ -55,6 +55,9 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     dst = osp.join(args.out, "results_beetle.csv")
     shutil.copy(osp.join(exp_dir, "results.csv"), dst)
+    prov = osp.join(exp_dir, "results_provenance.json")
+    if osp.exists(prov):
+        shutil.copy(prov, osp.join(args.out, "results_beetle_provenance.json"))
     print(f"Wrote {dst}:")
     print(open(dst).read())
 
