@@ -51,10 +51,30 @@ def build_sampler(cfg: TrainConfig):
     return sampler, pc, mesh
 
 
-def gt_plane_distances(cfg: TrainConfig, pc, mesh, width: int) -> np.ndarray:
-    """Unsigned GT distances on the x=0 slice plane (for the figure)."""
+def gt_plane_distances(cfg: TrainConfig, pc, mesh, width: int,
+                       sampler=None) -> np.ndarray:
+    """Unsigned GT distances on the x=0 slice plane (for the figure).
+
+    When the training sampler is passed its coordinate-table oracle
+    answers the plane queries directly (the pruned one-shot sweep costs
+    ~5 s/shape on the beetle; the table gather is milliseconds and uses
+    the identical candidate sets the training GT used)."""
     samples = plane_samples(width)
-    if mesh is not None:
+    if sampler is not None and getattr(sampler, "tri_table", None) is not None:
+        from ..data.mesh_distance import point_triangle_distance_table
+        import jax.numpy as jnp
+
+        d = point_triangle_distance_table(
+            jnp.asarray(samples), sampler.tri_table
+        )
+    elif sampler is not None and getattr(sampler, "pc_candidates", None) is not None:
+        from ..data.mesh_distance import point_cloud_distance_cells
+        import jax.numpy as jnp
+
+        d = point_cloud_distance_cells(
+            jnp.asarray(samples), sampler.pc_candidates
+        )
+    elif mesh is not None:
         d = point_triangle_distance_pruned(
             samples, triangles_from_mesh(mesh.vertices, mesh.faces)
         )
@@ -183,7 +203,7 @@ def setup_train(cfg: TrainConfig, make_meshes: bool = True, verbose: bool = True
         print("Generating distance field slices")
     width = 512
     pred = predicted_slice(state.best_params, spec, width)
-    gt_d = gt_plane_distances(cfg, pc, mesh, width)
+    gt_d = gt_plane_distances(cfg, pc, mesh, width, sampler=sampler)
     render_slice_figure(pred, gt_d, cfg.gt_mode, cfg.alpha, width, recon_dir)
 
     meshes = None

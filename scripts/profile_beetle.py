@@ -92,7 +92,7 @@ def main(argv=None):
     with timer.phase("slices_pred"):
         pred = predicted_slice(state.best_params, spec, width)
     with timer.phase("slices_gt"):
-        gt_d = gt_plane_distances(cfg, pc, mesh, width)
+        gt_d = gt_plane_distances(cfg, pc, mesh, width, sampler=sampler)
     with timer.phase("slices_figure"):
         render_slice_figure(pred, gt_d, cfg.gt_mode, cfg.alpha, width, recon)
 

@@ -281,6 +281,27 @@ class TestGenerateDF:
         assert os.path.exists(outdir + "distance_fields.png")
         assert os.path.exists(outdir + "pred_grad.png")
 
+    def test_gt_plane_sampler_table_matches_exact(self, demo_dir):
+        """Slice-plane GT via the training sampler's candidate table ==
+        the pruned exact point-triangle sweep (and the pc-mode table ==
+        the brute point-cloud distance)."""
+        import numpy as np
+
+        from diffudf_tpu.cli.train import build_sampler, gt_plane_distances
+        from diffudf_tpu.config import TrainConfig
+
+        cfg = TrainConfig(dataset=str(demo_dir / "torus"), only_pcloud=False)
+        sampler, pc, mesh = build_sampler(cfg)
+        d_table = gt_plane_distances(cfg, pc, mesh, 32, sampler=sampler)
+        d_exact = gt_plane_distances(cfg, pc, mesh, 32)
+        np.testing.assert_allclose(d_table, d_exact, atol=1e-5)
+
+        cfg_pc = TrainConfig(dataset=str(demo_dir / "torus"), only_pcloud=True)
+        sampler_pc, pc2, _ = build_sampler(cfg_pc)
+        d_tbl = gt_plane_distances(cfg_pc, pc2, None, 32, sampler=sampler_pc)
+        d_brute = gt_plane_distances(cfg_pc, pc2, None, 32)
+        np.testing.assert_allclose(d_tbl, d_brute, atol=1e-5)
+
 
 class TestResume:
     def test_resume_continues(self, demo_dir):
