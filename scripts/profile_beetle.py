@@ -73,6 +73,12 @@ def main(argv=None):
         trainer = Trainer(spec, sampler, cfg)
         state = trainer.init_state()
 
+    # warmup train: in a sweep the (stage-shared) train graphs compile once
+    # per process and amortise over every shape — and on bad service days a
+    # single remote compile costs minutes (CLAUDE.md), which would swamp
+    # the marginal number this artifact exists to report
+    trainer.run(state=trainer.init_state())
+    state = trainer.init_state()
     with timer.phase("train"):
         state, losses, train_time = trainer.run(state=state)
         force_sync(state.best_params)
@@ -89,6 +95,7 @@ def main(argv=None):
     # time the warm (marginal) cost — the Pallas kernels recompile per
     # process on the remote service and would otherwise dominate
     predicted_slice(state.best_params, spec, width)
+    gt_plane_distances(cfg, pc, mesh, width, sampler=sampler)  # warmup
     with timer.phase("slices_pred"):
         pred = predicted_slice(state.best_params, spec, width)
     with timer.phase("slices_gt"):
