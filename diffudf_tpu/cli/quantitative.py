@@ -101,13 +101,27 @@ def main(argv=None):
     # Provenance sidecar: normal-consistency endpoints carry a platform-
     # service-version band (PERFORMANCE.md "Platform numerics drift"), so
     # every results.csv records the numerics fingerprint it was measured
-    # under.  ~10 s warm; shares compiled graphs with the sweep itself.
+    # under.  The probe runs on EVERY sweep invocation (~10 s warm) — a
+    # resumed/extended sweep may append rows on a later service day; if
+    # the fingerprint moved since the recorded one, the stale record is
+    # preserved under "previous" so each band stays attributable.
     prov_path = osp.join(args.outfolder, "results_provenance.json")
-    if not args.no_provenance and not osp.exists(prov_path):
+    if not args.no_provenance:
         from ..utils.drift import fingerprint
 
         prov = fingerprint()
         prov["git_rev"] = _git_rev()
+        if osp.exists(prov_path):
+            with open(prov_path) as fh:
+                old = json.load(fh)
+            if (old.get("final_loss"), old.get("param_sum")) != (
+                prov["final_loss"], prov["param_sum"]
+            ):
+                prov["previous"] = old  # drifted since last rows were written
+            else:
+                prov["previous"] = old.get("previous")
+                if prov["previous"] is None:
+                    del prov["previous"]
         with open(prov_path, "w") as fh:
             json.dump(prov, fh, indent=1)
             fh.write("\n")

@@ -55,10 +55,13 @@ def gt_plane_distances(cfg: TrainConfig, pc, mesh, width: int,
                        sampler=None) -> np.ndarray:
     """Unsigned GT distances on the x=0 slice plane (for the figure).
 
-    When the training sampler is passed its coordinate-table oracle
-    answers the plane queries directly (the pruned one-shot sweep costs
-    ~5 s/shape on the beetle; the table gather is milliseconds and uses
-    the identical candidate sets the training GT used)."""
+    When the mesh-mode training sampler is passed, its coordinate-table
+    oracle answers the plane queries directly (the pruned one-shot sweep
+    costs ~5 s/shape on the beetle; the table gather is milliseconds and
+    uses the identical exactness-safe candidate sets the training GT
+    used).  The pc-mode candidate table is NOT reused here: it has no
+    off-surface exactness guarantee (measured up to 1.6e-2 plane error on
+    a 100k cloud), so pc mode keeps the brute nearest-point sweep."""
     samples = plane_samples(width)
     if sampler is not None and getattr(sampler, "tri_table", None) is not None:
         from ..data.mesh_distance import point_triangle_distance_table
@@ -66,13 +69,6 @@ def gt_plane_distances(cfg: TrainConfig, pc, mesh, width: int,
 
         d = point_triangle_distance_table(
             jnp.asarray(samples), sampler.tri_table
-        )
-    elif sampler is not None and getattr(sampler, "pc_candidates", None) is not None:
-        from ..data.mesh_distance import point_cloud_distance_cells
-        import jax.numpy as jnp
-
-        d = point_cloud_distance_cells(
-            jnp.asarray(samples), sampler.pc_candidates
         )
     elif mesh is not None:
         d = point_triangle_distance_pruned(
@@ -182,6 +178,7 @@ def setup_train(cfg: TrainConfig, make_meshes: bool = True, verbose: bool = True
                     osp.join(recon_dir, f"mc_mesh_{epoch_end}.obj"),
                     cfg.alpha,
                     "both" if cfg.gt_mode == "tanh" else "siren",
+                    quality=cfg.quality,
                 )
         if verbose:
             print(

@@ -35,6 +35,9 @@ class NetworkConfig:
         )
 
 
+QUALITY_NAMES = ("parity", "default", "enhanced")
+
+
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     dataset: str = ""
@@ -64,8 +67,18 @@ class TrainConfig:
     # extraction quality preset for the post-train reconstructions:
     # "parity" (reference-exact extraction), "default" (shipping cleanup
     # knobs), "enhanced" (N>=385 + vertex reprojection + Taubin 10) — see
-    # cli.generate_mc.QUALITY_PRESETS
+    # cli.generate_mc.QUALITY_PRESETS (whose keys must stay in sync with
+    # QUALITY_NAMES below; validated at parse time so a typo fails before
+    # the training run, not after it)
     quality: str = "default"
+
+    def __post_init__(self):
+        if self.quality not in QUALITY_NAMES:
+            raise ValueError(
+                f"Invalid quality {self.quality!r}; expected one of "
+                f"{QUALITY_NAMES}"
+            )
+
     # dtype for the J/H derivative carries in the training loss:
     # 'bfloat16' (default, ~1.8x faster on the bandwidth-bound TPU step,
     # ≲0.4% relative derivative noise) or 'float32' (exact reference parity)

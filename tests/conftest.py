@@ -44,9 +44,11 @@ def _hang_watchdog():
     The XLA collective deadline above already aborts a stuck CPU
     rendezvous at 900 s; this catches everything else (host-side deadlock,
     runaway compile) by dumping all thread tracebacks and hard-exiting
-    instead of hanging the suite indefinitely.  20 min ≫ the slowest
-    legitimate test."""
-    faulthandler.dump_traceback_later(1200, exit=True)
+    instead of hanging the suite indefinitely.  30 min: a legitimate test
+    can ride out one full 900 s collective straggler (tolerated by design
+    under load, see the XLA_FLAGS note above) plus its normal work and
+    still clear this with margin."""
+    faulthandler.dump_traceback_later(1800, exit=True)
     yield
     faulthandler.cancel_dump_traceback_later()
 

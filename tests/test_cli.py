@@ -200,6 +200,23 @@ class TestQuantitative:
         assert prov["final_loss"] == 1.0
         assert prov["git_rev"]  # non-empty ("unknown" allowed outside git)
 
+        # same fingerprint on a re-run: refreshed in place, no history
+        quantitative.main([str(tmp_path / "data"), str(out)])
+        prov = json.loads((out / "results_provenance.json").read_text())
+        assert "previous" not in prov
+
+        # drifted fingerprint on a resumed sweep: the stale record is
+        # preserved under "previous" so appended rows stay attributable
+        monkeypatch.setattr(
+            drift, "fingerprint",
+            lambda **kw: {"date": "2026-01-02", "platform": "cpu",
+                          "final_loss": 3.0, "param_sum": 4.0},
+        )
+        quantitative.main([str(tmp_path / "data"), str(out)])
+        prov = json.loads((out / "results_provenance.json").read_text())
+        assert prov["final_loss"] == 3.0
+        assert prov["previous"]["final_loss"] == 1.0
+
 
 class TestQualityPresets:
     def test_invalid_name_raises(self):
@@ -252,6 +269,18 @@ class TestQualityPresets:
         assert d["quality"] == "enhanced"
         assert TrainConfig.from_dict({}).quality == "default"
 
+    def test_config_rejects_bad_quality_at_parse(self):
+        """A preset typo fails at config parse, not after the 3000-epoch
+        training run (run_mc would otherwise be the first to notice)."""
+        with pytest.raises(ValueError, match="quality"):
+            TrainConfig.from_dict({"quality": "enhaced"})
+
+    def test_preset_names_in_sync(self):
+        from diffudf_tpu.cli.generate_mc import QUALITY_PRESETS
+        from diffudf_tpu.config import QUALITY_NAMES
+
+        assert set(QUALITY_PRESETS) == set(QUALITY_NAMES)
+
     def test_run_mc_parity_smoke(self, trained_dir, tmp_path):
         """quality='parity' plumbs through a real (tiny) extraction."""
         from diffudf_tpu.cli.generate_mc import run_mc
@@ -282,9 +311,10 @@ class TestGenerateDF:
         assert os.path.exists(outdir + "pred_grad.png")
 
     def test_gt_plane_sampler_table_matches_exact(self, demo_dir):
-        """Slice-plane GT via the training sampler's candidate table ==
-        the pruned exact point-triangle sweep (and the pc-mode table ==
-        the brute point-cloud distance)."""
+        """Slice-plane GT via the mesh sampler's candidate table == the
+        pruned exact point-triangle sweep.  (pc mode deliberately keeps
+        the brute sweep — its candidate table has no off-surface
+        exactness guarantee; the sampler path must be a no-op there.)"""
         import numpy as np
 
         from diffudf_tpu.cli.train import build_sampler, gt_plane_distances
@@ -300,7 +330,7 @@ class TestGenerateDF:
         sampler_pc, pc2, _ = build_sampler(cfg_pc)
         d_tbl = gt_plane_distances(cfg_pc, pc2, None, 32, sampler=sampler_pc)
         d_brute = gt_plane_distances(cfg_pc, pc2, None, 32)
-        np.testing.assert_allclose(d_tbl, d_brute, atol=1e-5)
+        np.testing.assert_array_equal(d_tbl, d_brute)
 
 
 class TestResume:
