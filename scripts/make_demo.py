@@ -126,8 +126,9 @@ def skirt(n_az=192, n_h=96):
     return grid_surface(fn, n_az, n_h, closed_u=True, closed_v=False)
 
 
-def main():
-    out = sys.argv[1] if len(sys.argv) > 1 else "data/demo"
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    out = argv[0] if argv else "data/demo"
     os.makedirs(out, exist_ok=True)
     names = []
     for name, mesh in (
