@@ -33,20 +33,32 @@ from ..train import checkpoint as ckpt
 
 
 def build_sampler(cfg: TrainConfig):
-    """Load `<dataset>_pc.ply` (+ `<dataset>_t.obj` in mesh mode)."""
+    """Load `<dataset>_pc.ply` (+ `<dataset>_t.obj` in mesh mode).
+
+    The one-shot candidate-grid oracle build is cached on disk next to the
+    preprocessed asset (``<dataset>_oracle_cache.npz``, content-hashed —
+    see :mod:`..data.oracle_cache`): the host cKDTree build is the dominant
+    non-train phase and is identical across retrains of the same asset.
+    Set ``DIFFUDF_ORACLE_CACHE=0`` to disable.
+    """
+    cache = cfg.dataset + "_oracle_cache.npz"
+    if os.environ.get("DIFFUDF_ORACLE_CACHE", "1") == "0":
+        cache = None
     pc = load_point_cloud(cfg.dataset + "_pc.ply")
     if pc.normals is None:
         raise ValueError(f"{cfg.dataset}_pc.ply has no normals")
     if cfg.only_pcloud:
         sampler = TrainingSampler.from_point_cloud(
-            pc.points, pc.normals, cfg.batch_size, cfg.sampling_percentiles
+            pc.points, pc.normals, cfg.batch_size, cfg.sampling_percentiles,
+            cache_path=cache,
         )
         mesh = None
     else:
         mesh = load_mesh(cfg.dataset + "_t.obj")
         tris = mesh.vertices[mesh.faces]
         sampler = TrainingSampler.from_mesh(
-            pc.points, pc.normals, tris, cfg.batch_size, cfg.sampling_percentiles
+            pc.points, pc.normals, tris, cfg.batch_size, cfg.sampling_percentiles,
+            cache_path=cache,
         )
     return sampler, pc, mesh
 

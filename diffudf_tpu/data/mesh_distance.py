@@ -447,13 +447,16 @@ def build_triangle_table(tri_verts: jax.Array, cand: jax.Array) -> jax.Array:
     each trailing (3, 3) into an (8, 128) TPU tile = 21.7 GB of padding;
     (g³, k·9) pads 864 lanes to 896 (+3.7%, 396 MB).
     """
-    g3, k = cand.shape
     tv9 = tri_verts.reshape(-1, 9)
+    return _table_gather(tv9, cand)
 
-    def gather(tv9, cand):
-        return jnp.take(tv9, cand.reshape(-1), axis=0).reshape(g3, k * 9)
 
-    return jax.jit(gather)(tv9, cand)
+@jax.jit
+def _table_gather(tv9, cand):
+    # module-level jit: one in-process executable per (T, g³, k) signature —
+    # a per-call jax.jit(lambda) would retrace and recompile every build
+    g3, k = cand.shape
+    return jnp.take(tv9, cand.reshape(-1), axis=0).reshape(g3, k * 9)
 
 
 def point_triangle_distance_table(

@@ -30,8 +30,6 @@ import numpy as np
 
 from ..utils.buckets import next_bucket
 from .mesh_distance import (
-    build_candidate_grid,
-    build_point_candidate_grid,
     build_triangle_table,
     point_cloud_distance,
     point_cloud_distance_cells,
@@ -104,13 +102,18 @@ class TrainingSampler:
     pc_candidates: jax.Array | None = None  # (G³, K, 3) per-cell point table
 
     @classmethod
-    def from_point_cloud(cls, points, normals, batch_size, percentiles, stddev=0.01):
+    def from_point_cloud(cls, points, normals, batch_size, percentiles, stddev=0.01,
+                         cache_path: str | None = None):
+        """``cache_path`` (optional) caches the one-shot candidate-grid
+        build on disk, keyed by the cloud bytes (:mod:`.oracle_cache`)."""
+        from .oracle_cache import cached_point_candidate_grid
+
         sizes = BatchSizes.from_config(batch_size, percentiles)
         return cls(
             surface_points=jnp.asarray(points, jnp.float32),
             surface_normals=jnp.asarray(normals, jnp.float32),
             static=SamplerStatic(sizes, "pointcloud", stddev),
-            pc_candidates=build_point_candidate_grid(points),
+            pc_candidates=cached_point_candidate_grid(points, cache_path),
         )
 
     # all meshes up to this face count share ONE padded triangle-array
@@ -122,7 +125,7 @@ class TrainingSampler:
     @classmethod
     def from_mesh(cls, points, normals, tri_verts, batch_size, percentiles,
                   stddev=0.01, pad_triangles: bool = True,
-                  oracle_layout: str = "table"):
+                  oracle_layout: str = "table", cache_path: str | None = None):
         """``oracle_layout="table"`` (default) materialises the candidate
         grid as per-cell triangle *coordinates* (``build_triangle_table``):
         the per-step oracle becomes one contiguous row gather — 7.4× faster
@@ -136,13 +139,20 @@ class TrainingSampler:
         scenarios); there ``pad_triangles`` pads the triangle count to a
         fixed bucket (power of two above ``TRI_PAD_BUCKET`` for giant
         meshes) with degenerate far-away triangles, so meshes with
-        different face counts still share one compiled train step."""
+        different face counts still share one compiled train step.
+
+        ``cache_path`` (optional) caches the one-shot candidate-grid build
+        on disk, keyed by the triangle bytes (:mod:`.oracle_cache`) — the
+        build is the dominant non-train phase (~17-50 s host cKDTree) and
+        is identical across retrains of the same asset."""
+        from .oracle_cache import cached_candidate_grid
+
         sizes = BatchSizes.from_config(batch_size, percentiles)
         # candidates come from the REAL triangles only (indices are stable
         # under padding; padded far-away degenerates can never be nearest,
         # and coincident padding points degrade the KD-tree badly)
         real = np.asarray(tri_verts, np.float32)
-        cand = build_candidate_grid(real)
+        cand = cached_candidate_grid(real, cache_path)
         if oracle_layout == "table":
             return cls(
                 surface_points=jnp.asarray(points, jnp.float32),

@@ -68,10 +68,18 @@ def main(argv=None):
     cfg = TrainConfig.from_dict(d)
     spec = cfg.network.to_spec()
 
+    # data_build is timed COLD (the sweep's first-contact cost per shape);
+    # the content-hashed oracle cache then makes every retrain of the same
+    # asset a load — timed separately as data_build_cached
+    cache_file = d["dataset"] + "_oracle_cache.npz"
+    if osp.exists(cache_file):
+        os.remove(cache_file)
     with timer.phase("data_build"):
         sampler, pc, mesh = build_sampler(cfg)
         trainer = Trainer(spec, sampler, cfg)
         state = trainer.init_state()
+    with timer.phase("_data_build_cached"):  # excluded from _total
+        build_sampler(cfg)
 
     # warmup train: in a sweep the (stage-shared) train graphs compile once
     # per process and amortise over every shape — and on bad service days a

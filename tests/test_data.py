@@ -416,3 +416,110 @@ class TestSampling:
         assert sz.on_surface == 9990
         assert sz.far == 9990
         assert sz.near == 9990
+
+
+class TestOracleCache:
+    """Disk cache for the one-shot candidate-grid builds
+    (``data/oracle_cache.py``): content-hashed, shared npz, best-effort."""
+
+    def _soup(self, rng, n=400):
+        base = rng.uniform(-0.8, 0.8, size=(n, 3)).astype(np.float32)
+        e1 = rng.normal(size=(n, 3)).astype(np.float32) * 0.05
+        e2 = rng.normal(size=(n, 3)).astype(np.float32) * 0.05
+        return np.stack([base, base + e1, base + e2], axis=1)
+
+    def test_mesh_cache_roundtrip_and_hit(self, rng, tmp_path, monkeypatch):
+        from diffudf_tpu.data import oracle_cache as oc
+
+        tris = self._soup(rng)
+        path = str(tmp_path / "shape_oracle_cache.npz")
+        cand1 = np.asarray(oc.cached_candidate_grid(tris, path))
+        assert (tmp_path / "shape_oracle_cache.npz").exists()
+        # second call must LOAD, not rebuild
+        monkeypatch.setattr(
+            oc.md, "build_candidate_grid",
+            lambda *a, **k: (_ for _ in ()).throw(AssertionError("rebuilt")),
+        )
+        cand2 = np.asarray(oc.cached_candidate_grid(tris, path))
+        np.testing.assert_array_equal(cand1, cand2)
+
+    def test_mesh_cache_stale_on_changed_geometry(self, rng, tmp_path):
+        from diffudf_tpu.data import oracle_cache as oc
+        from diffudf_tpu.data.mesh_distance import build_candidate_grid
+
+        tris = self._soup(rng)
+        path = str(tmp_path / "c.npz")
+        oc.cached_candidate_grid(tris, path)
+        moved = tris + np.float32(0.05)
+        got = np.asarray(oc.cached_candidate_grid(moved, path))
+        want = np.asarray(build_candidate_grid(jnp.asarray(moved)))
+        np.testing.assert_array_equal(got, want)
+
+    def test_pc_cache_matches_direct_build(self, rng, tmp_path, monkeypatch):
+        from diffudf_tpu.data import oracle_cache as oc
+        from diffudf_tpu.data.mesh_distance import build_point_candidate_grid
+
+        u = rng.normal(size=(3000, 3))
+        cloud = (u / np.linalg.norm(u, axis=1, keepdims=True) * 0.7).astype(
+            np.float32
+        )
+        path = str(tmp_path / "c.npz")
+        t1 = np.asarray(oc.cached_point_candidate_grid(cloud, path))
+        want = np.asarray(build_point_candidate_grid(cloud))
+        np.testing.assert_array_equal(t1, want)
+        # hit path: identical table without touching the tree
+        import scipy.spatial
+
+        monkeypatch.setattr(
+            scipy.spatial, "cKDTree",
+            lambda *a, **k: (_ for _ in ()).throw(AssertionError("rebuilt")),
+        )
+        t2 = np.asarray(oc.cached_point_candidate_grid(cloud, path))
+        np.testing.assert_array_equal(t1, t2)
+
+    def test_shared_file_holds_both_oracles(self, rng, tmp_path):
+        from diffudf_tpu.data import oracle_cache as oc
+
+        tris = self._soup(rng, 100)
+        cloud = rng.normal(size=(500, 3)).astype(np.float32) * 0.5
+        path = str(tmp_path / "both.npz")
+        c1 = np.asarray(oc.cached_candidate_grid(tris, path))
+        t1 = np.asarray(oc.cached_point_candidate_grid(cloud, path))
+        # the second store must not evict the first field
+        c2 = np.asarray(oc.cached_candidate_grid(tris, path))
+        t2 = np.asarray(oc.cached_point_candidate_grid(cloud, path))
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_array_equal(t1, t2)
+
+    def test_corrupt_cache_warns_and_rebuilds(self, rng, tmp_path):
+        import warnings as _w
+
+        from diffudf_tpu.data import oracle_cache as oc
+        from diffudf_tpu.data.mesh_distance import build_candidate_grid
+
+        tris = self._soup(rng, 100)
+        path = str(tmp_path / "c.npz")
+        with open(path, "wb") as fh:
+            fh.write(b"not an npz")
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            got = np.asarray(oc.cached_candidate_grid(tris, path))
+        assert any("rebuilding" in str(r.message) for r in rec)
+        want = np.asarray(build_candidate_grid(jnp.asarray(tris)))
+        np.testing.assert_array_equal(got, want)
+        # and the rebuild repaired the file in place
+        got2 = np.asarray(oc.cached_candidate_grid(tris, path))
+        np.testing.assert_array_equal(got2, want)
+
+    def test_sampler_with_cache_path_is_equivalent(self, rng, tmp_path):
+        m = make_cube()
+        pts, nrm = sample_surface_points(m, 100, seed=2)
+        tris = np.asarray(m.vertices[m.faces])
+        plain = TrainingSampler.from_mesh(pts, nrm, tris, 60, [0.333, 0.666])
+        cached = TrainingSampler.from_mesh(
+            pts, nrm, tris, 60, [0.333, 0.666],
+            cache_path=str(tmp_path / "cube.npz"),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(plain.tri_table), np.asarray(cached.tri_table)
+        )
