@@ -16,37 +16,42 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..fields.siren import SirenSpec
+from . import sincos as _sc
 
 
 def _value_kernel(x_ref, w1_ref, b1_ref, wh_ref, bh_ref, wl_ref, bl_ref,
-                  out_ref, *, spec: SirenSpec, tile: int, mixed: bool):
+                  out_ref, *, spec: SirenSpec, tile: int, mixed: bool,
+                  fast_sincos: bool = True):
     freqs = spec.freqs
     w0 = freqs[0]
     ww = freqs[1] if len(freqs) > 1 else freqs[0]
     # first layer always f32: input-coordinate precision must survive the
     # w0=30 phase amplification (mirrors autodiff.ops.value's bf16 mode)
-    a = jnp.sin(
+    a = _sc.sin(
         w0 * (jnp.dot(x_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
-              + b1_ref[:])
+              + b1_ref[:]),
+        fast_sincos,
     )
     dt = jnp.bfloat16 if mixed else jnp.float32
     for l in range(len(spec.hidden) - 1):
         # bf16 operands (weights pre-cast by the caller), f32 accumulation
         # and f32 sin — the MXU runs bf16 matmuls in one pass instead of
         # f32's three, which is the sphere-trace inner loop's entire cost
-        a = jnp.sin(
+        a = _sc.sin(
             ww * (jnp.dot(a.astype(dt), wh_ref[l],
                           preferred_element_type=jnp.float32)
-                  + bh_ref[l])
+                  + bh_ref[l]),
+            fast_sincos,
         )
     f = jnp.dot(a.astype(dt), wl_ref[:],
                 preferred_element_type=jnp.float32) + bl_ref[0]
     out_ref[:] = jnp.broadcast_to(f, out_ref.shape)
 
 
-@partial(jax.jit, static_argnames=("spec", "tile", "compute_dtype"))
+@partial(jax.jit, static_argnames=("spec", "tile", "compute_dtype",
+                                   "fast_sincos"))
 def value_pallas(params, spec: SirenSpec, x, tile: int = 1024,
-                 compute_dtype=None):
+                 compute_dtype=None, fast_sincos: bool = True):
     """f(x): (N, 3) -> (N,), N % tile == 0, uniform-width sine net.
 
     ``compute_dtype=jnp.bfloat16`` mirrors ``autodiff.ops.value``'s mixed
@@ -68,7 +73,8 @@ def value_pallas(params, spec: SirenSpec, x, tile: int = 1024,
     wl = params[-1]["w"].astype(wdt)
     bl = params[-1]["b"]
     out = pl.pallas_call(
-        partial(_value_kernel, spec=spec, tile=tile, mixed=mixed),
+        partial(_value_kernel, spec=spec, tile=tile, mixed=mixed,
+                fast_sincos=fast_sincos),
         grid=(n // tile,),
         in_specs=[
             pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),

@@ -19,10 +19,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..fields.siren import SirenSpec
 from .pallas_vgh import _mm
+from .sincos import sincos
 
 
 def _vg_fwd_kernel(x_ref, w1_ref, b1_ref, wh_ref, bh_ref, wl_ref, bl_ref,
-                   out_ref, *, spec: SirenSpec, tile: int, compute_dtype=None):
+                   out_ref, *, spec: SirenSpec, tile: int, compute_dtype=None,
+                   fast_sincos: bool = True):
     n_hidden_mm = len(spec.hidden) - 1
     freqs = spec.freqs
     w0 = freqs[0]
@@ -31,16 +33,16 @@ def _vg_fwd_kernel(x_ref, w1_ref, b1_ref, wh_ref, bh_ref, wl_ref, bl_ref,
 
     x = x_ref[:]
     z = _mm(x, w1_ref[:], compute_dtype) + b1_ref[:]
-    s = jnp.sin(w0 * z)
-    d1 = w0 * jnp.cos(w0 * z)
+    s, c = sincos(w0 * z, fast_sincos)
+    d1 = w0 * c
     rows = [s] + [d1 * w1_ref[k, :][None, :] for k in range(3)]
     carry = jnp.concatenate(rows, axis=0)  # (4T, h)
 
     for l in range(n_hidden_mm):
         m = _mm(carry, wh_ref[l], compute_dtype)
         z = m[0:T] + bh_ref[l]
-        s = jnp.sin(ww * z)
-        d1 = ww * jnp.cos(ww * z)
+        s, c = sincos(ww * z, fast_sincos)
+        d1 = ww * c
         carry = jnp.concatenate(
             [s] + [d1 * m[(1 + k) * T:(2 + k) * T] for k in range(3)], axis=0
         )
@@ -52,8 +54,10 @@ def _vg_fwd_kernel(x_ref, w1_ref, b1_ref, wh_ref, bh_ref, wl_ref, bl_ref,
     out_ref[:] = jnp.concatenate(cols, axis=1)  # (T, 8)
 
 
-@partial(jax.jit, static_argnames=("spec", "tile", "compute_dtype"))
-def vg_pallas(params, spec: SirenSpec, x, tile: int = 256, compute_dtype=None):
+@partial(jax.jit, static_argnames=("spec", "tile", "compute_dtype",
+                                   "fast_sincos"))
+def vg_pallas(params, spec: SirenSpec, x, tile: int = 256, compute_dtype=None,
+              fast_sincos: bool = True):
     """Fused (f, ∇f): x (N, 3), N % tile == 0 -> (f (N,), g (N, 3))."""
     h = spec.hidden[0]
     if any(w != h for w in spec.hidden):
@@ -69,7 +73,7 @@ def vg_pallas(params, spec: SirenSpec, x, tile: int = 256, compute_dtype=None):
     bl = params[-1]["b"]
     out = pl.pallas_call(
         partial(_vg_fwd_kernel, spec=spec, tile=tile,
-                compute_dtype=compute_dtype),
+                compute_dtype=compute_dtype, fast_sincos=fast_sincos),
         grid=(n // tile,),
         in_specs=[
             pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -91,6 +95,7 @@ def _vg_bwd_kernel(
     wbar1_ref, bbar1_ref, wbarh_ref, bbarh_ref, wbarl_ref, bblL_ref,
     carr, d1s, d2s,
     *, spec: SirenSpec, tile: int, compute_dtype=None,
+    fast_sincos: bool = True,
 ):
     L = len(spec.hidden)
     n_hidden_mm = L - 1
@@ -112,8 +117,8 @@ def _vg_bwd_kernel(
 
     # forward recompute
     z = _mm(x, w1_ref[:], compute_dtype) + b1_ref[:]
-    s = jnp.sin(w0 * z)
-    d1 = w0 * jnp.cos(w0 * z)
+    s, c = sincos(w0 * z, fast_sincos)
+    d1 = w0 * c
     d1s[0] = d1
     d2s[0] = -(w0 * w0) * s
     carry = jnp.concatenate(
@@ -123,8 +128,8 @@ def _vg_bwd_kernel(
     for l in range(n_hidden_mm):
         m = _mm(carry, wh_ref[l], compute_dtype)
         z = m[0:T] + bh_ref[l]
-        s = jnp.sin(ww * z)
-        d1 = ww * jnp.cos(ww * z)
+        s, c = sincos(ww * z, fast_sincos)
+        d1 = ww * c
         d1s[l + 1] = d1
         d2s[l + 1] = -(ww * ww) * s
         carry = jnp.concatenate(
@@ -177,9 +182,10 @@ def _vg_bwd_kernel(
     bbar1_ref[0, :] += jnp.sum(zbar1, axis=0)
 
 
-@partial(jax.jit, static_argnames=("spec", "tile", "compute_dtype"))
+@partial(jax.jit, static_argnames=("spec", "tile", "compute_dtype",
+                                   "fast_sincos"))
 def _vg_bwd(params, spec: SirenSpec, x, cot_packed, tile: int = 128,
-            compute_dtype=None):
+            compute_dtype=None, fast_sincos: bool = True):
     h = spec.hidden[0]
     L = len(spec.hidden)
     n = x.shape[0]
@@ -191,7 +197,7 @@ def _vg_bwd(params, spec: SirenSpec, x, cot_packed, tile: int = 128,
     wl = params[-1]["w"]
     outs = pl.pallas_call(
         partial(_vg_bwd_kernel, spec=spec, tile=tile,
-                compute_dtype=compute_dtype),
+                compute_dtype=compute_dtype, fast_sincos=fast_sincos),
         grid=(n // tile,),
         in_specs=[
             pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -236,11 +242,13 @@ def _vg_bwd(params, spec: SirenSpec, x, cot_packed, tile: int = 128,
 
 @lru_cache(maxsize=8)
 def make_vg_op(spec: SirenSpec, fwd_tile: int = 256, bwd_tile: int = 128,
-               compute_dtype=None):
+               compute_dtype=None, fast_sincos: bool = True):
     """Custom-VJP fused (f, ∇f) op, differentiable wrt params (x non-diff).
 
     ``compute_dtype=jnp.bfloat16`` feeds the MXU bf16 inputs (f32
-    accumulate) in every matmul — see ``pallas_vgh._mm``."""
+    accumulate) in every matmul — see ``pallas_vgh._mm``.  ``fast_sincos``
+    (default on) shares one range reduction between sin and cos per layer
+    in forward and backward recompute alike (ops/sincos.py)."""
     h = spec.hidden[0]
     if any(w != h for w in spec.hidden) or spec.activation != "sine":
         raise ValueError("custom vg op requires a uniform-width sine net")
@@ -248,7 +256,8 @@ def make_vg_op(spec: SirenSpec, fwd_tile: int = 256, bwd_tile: int = 128,
     @jax.custom_vjp
     def op(params, x):
         return vg_pallas(params, spec, x, tile=fwd_tile,
-                         compute_dtype=compute_dtype)
+                         compute_dtype=compute_dtype,
+                         fast_sincos=fast_sincos)
 
     def fwd(params, x):
         return op(params, x), (params, x)
@@ -260,7 +269,8 @@ def make_vg_op(spec: SirenSpec, fwd_tile: int = 256, bwd_tile: int = 128,
             [fbar[:, None], gbar, jnp.zeros((x.shape[0], 4), jnp.float32)], axis=1
         )
         return _vg_bwd(params, spec, x, cot_packed, tile=bwd_tile,
-                       compute_dtype=compute_dtype), None
+                       compute_dtype=compute_dtype,
+                       fast_sincos=fast_sincos), None
 
     op.defvjp(fwd, bwd)
     return op

@@ -30,6 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..fields.siren import SirenSpec
+from .sincos import sincos
 
 # packed-Hessian component index pairs (must match autodiff.ops)
 _TRI_I = (0, 0, 0, 1, 1, 2)
@@ -52,7 +53,8 @@ def _mm(a, b, compute_dtype):
 
 
 def _vgh_kernel(x_ref, w1_ref, b1_ref, wh_ref, bh_ref, wl_ref, bl_ref, out_ref,
-                *, spec: SirenSpec, tile: int, compute_dtype=None):
+                *, spec: SirenSpec, tile: int, compute_dtype=None,
+                fast_sincos: bool = True):
     h = spec.hidden[0]
     n_hidden_mm = len(spec.hidden) - 1  # layers applied to the stacked carry
     freqs = spec.freqs
@@ -63,8 +65,7 @@ def _vgh_kernel(x_ref, w1_ref, b1_ref, wh_ref, bh_ref, wl_ref, bl_ref, out_ref,
     # --- first layer: z = x @ W1 + b1 ----------------------------------------
     z = _mm(x, w1_ref[:], compute_dtype) + b1_ref[:]
     w0 = freqs[0]
-    s = jnp.sin(w0 * z)
-    c = jnp.cos(w0 * z)
+    s, c = sincos(w0 * z, fast_sincos)
     d1 = w0 * c
     d2 = -(w0 * w0) * s
 
@@ -88,8 +89,7 @@ def _vgh_kernel(x_ref, w1_ref, b1_ref, wh_ref, bh_ref, wl_ref, bl_ref, out_ref,
         b = bh_ref[l]  # (h,)
         m = _mm(carry, w, compute_dtype)  # (10T, h)
         z = m[0:T] + b
-        s = jnp.sin(ww * z)
-        c = jnp.cos(ww * z)
+        s, c = sincos(ww * z, fast_sincos)
         d1 = ww * c
         d2 = -(ww * ww) * s
         jz0, jz1, jz2 = m[T:2 * T], m[2 * T:3 * T], m[3 * T:4 * T]
@@ -112,13 +112,18 @@ def _vgh_kernel(x_ref, w1_ref, b1_ref, wh_ref, bh_ref, wl_ref, bl_ref, out_ref,
     out_ref[:] = jnp.concatenate(cols, axis=1)  # (T, 16)
 
 
-@partial(jax.jit, static_argnames=("spec", "tile", "compute_dtype"))
-def vgh_pallas(params, spec: SirenSpec, x, tile: int = 256, compute_dtype=None):
+@partial(jax.jit, static_argnames=("spec", "tile", "compute_dtype",
+                                   "fast_sincos"))
+def vgh_pallas(params, spec: SirenSpec, x, tile: int = 256, compute_dtype=None,
+               fast_sincos: bool = True):
     """Fused (f, ∇f, packed H) via the Pallas kernel.
 
     x: (N, 3) with N a multiple of ``tile``.  Returns (f (N,), g (N, 3),
     h6 (N, 6)) — same contract as ``value_grad_hessian_packed``.
     Requires a uniform hidden width (the flagship 8×256 shape).
+    ``fast_sincos=False`` keeps the two exact transcendentals per layer
+    (bit-comparable to the XLA path; default shares one range reduction —
+    see ops/sincos.py).
     """
     h = spec.hidden[0]
     if any(w != h for w in spec.hidden):
@@ -136,7 +141,8 @@ def vgh_pallas(params, spec: SirenSpec, x, tile: int = 256, compute_dtype=None):
 
     grid = (n // tile,)
     out = pl.pallas_call(
-        partial(_vgh_kernel, spec=spec, tile=tile, compute_dtype=compute_dtype),
+        partial(_vgh_kernel, spec=spec, tile=tile, compute_dtype=compute_dtype,
+                fast_sincos=fast_sincos),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),

@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..fields.siren import SirenSpec
 from .pallas_vgh import _mm, _vgh_kernel, vgh_pallas
+from .sincos import sincos
 
 _TRI_I = (0, 0, 0, 1, 1, 2)
 _TRI_J = (0, 1, 2, 1, 2, 2)
@@ -46,6 +47,7 @@ def _vgh_bwd_kernel(
     wbar1_ref, bbar1_ref, wbarh_ref, bbarh_ref, wbarl_ref, bblL_ref,
     carr, d1s, d2s,
     *, spec: SirenSpec, tile: int, compute_dtype=None,
+    fast_sincos: bool = True,
 ):
     h = spec.hidden[0]
     L = len(spec.hidden)  # total activation layers
@@ -69,8 +71,7 @@ def _vgh_bwd_kernel(
 
     # ---- forward recompute, carries + activation derivs into scratch ---------
     z = _mm(x, w1_ref[:], compute_dtype) + b1_ref[:]
-    s = jnp.sin(w0 * z)
-    c = jnp.cos(w0 * z)
+    s, c = sincos(w0 * z, fast_sincos)
     d1 = w0 * c
     d2 = -(w0 * w0) * s
     d1s[0] = d1
@@ -86,8 +87,7 @@ def _vgh_bwd_kernel(
     for l in range(n_hidden_mm):
         m = _mm(carry, wh_ref[l], compute_dtype)
         z = m[0:T] + bh_ref[l]
-        s = jnp.sin(ww * z)
-        c = jnp.cos(ww * z)
+        s, c = sincos(ww * z, fast_sincos)
         d1 = ww * c
         d2 = -(ww * ww) * s
         d1s[l + 1] = d1
@@ -179,9 +179,10 @@ def _vgh_bwd_kernel(
     bbar1_ref[0, :] += jnp.sum(zbar1, axis=0)
 
 
-@partial(jax.jit, static_argnames=("spec", "tile", "compute_dtype"))
+@partial(jax.jit, static_argnames=("spec", "tile", "compute_dtype",
+                                   "fast_sincos"))
 def _vgh_bwd(params, spec: SirenSpec, x, cot_packed, tile: int = 64,
-             compute_dtype=None):
+             compute_dtype=None, fast_sincos: bool = True):
     """-> param cotangents (same pytree structure as params)."""
     h = spec.hidden[0]
     L = len(spec.hidden)
@@ -197,7 +198,7 @@ def _vgh_bwd(params, spec: SirenSpec, x, cot_packed, tile: int = 64,
     grid = (n // tile,)
     outs = pl.pallas_call(
         partial(_vgh_bwd_kernel, spec=spec, tile=tile,
-                compute_dtype=compute_dtype),
+                compute_dtype=compute_dtype, fast_sincos=fast_sincos),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -243,7 +244,7 @@ def _vgh_bwd(params, spec: SirenSpec, x, cot_packed, tile: int = 64,
 
 @lru_cache(maxsize=8)
 def make_vgh_op(spec: SirenSpec, fwd_tile: int = 256, bwd_tile: int = 64,
-                compute_dtype=None):
+                compute_dtype=None, fast_sincos: bool = True):
     """Custom-VJP fused (f, ∇f, h6) op specialised to an architecture.
 
     Returns ``op(params, x) -> (f, g, h6)``, differentiable wrt params
@@ -251,6 +252,11 @@ def make_vgh_op(spec: SirenSpec, fwd_tile: int = 256, bwd_tile: int = 64,
     ``compute_dtype=jnp.bfloat16`` runs every MXU matmul (forward recompute
     and cotangent propagation) on bf16 inputs with f32 accumulation — the
     kernel-level analogue of the XLA path's ``deriv_dtype``.
+    ``fast_sincos`` (default on) shares one range reduction per layer
+    between sin and cos in both the forward and the backward recompute
+    (ops/sincos.py, ≤6.3e-7 abs activation error); the backward uses the
+    SAME activation function as the forward, so the VJP stays exactly
+    consistent with the op it differentiates.
     """
     h = spec.hidden[0]
     if any(w != h for w in spec.hidden) or spec.activation != "sine":
@@ -259,7 +265,8 @@ def make_vgh_op(spec: SirenSpec, fwd_tile: int = 256, bwd_tile: int = 64,
     @jax.custom_vjp
     def op(params, x):
         return vgh_pallas(params, spec, x, tile=fwd_tile,
-                          compute_dtype=compute_dtype)
+                          compute_dtype=compute_dtype,
+                          fast_sincos=fast_sincos)
 
     def fwd(params, x):
         return op(params, x), (params, x)
@@ -272,7 +279,8 @@ def make_vgh_op(spec: SirenSpec, fwd_tile: int = 256, bwd_tile: int = 64,
             axis=1,
         )
         grads = _vgh_bwd(params, spec, x, cot_packed, tile=bwd_tile,
-                         compute_dtype=compute_dtype)
+                         compute_dtype=compute_dtype,
+                         fast_sincos=fast_sincos)
         return grads, None
 
     op.defvjp(fwd, bwd)

@@ -208,3 +208,51 @@ class TestBf16Kernels:
             a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
             cos = a @ b / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-12)
             assert cos > 0.995
+
+
+class TestFastSincos:
+    """ops/sincos.py: shared-range-reduction sincos used by every Pallas
+    SIREN kernel (round-5 VPU-transcendental lever)."""
+
+    def test_accuracy_across_scales(self):
+        from diffudf_tpu.ops.sincos import fast_sin, fast_sincos
+
+        rng = np.random.default_rng(0)
+        for scale in (1.0, 30.0, 100.0, 300.0):
+            z32 = rng.uniform(-scale, scale, 200_000).astype(np.float32)
+            s, c = fast_sincos(jnp.asarray(z32))
+            z64 = z32.astype(np.float64)
+            assert np.abs(np.asarray(s) - np.sin(z64)).max() < 1e-6, scale
+            assert np.abs(np.asarray(c) - np.cos(z64)).max() < 1e-6, scale
+            s1 = fast_sin(jnp.asarray(z32))
+            np.testing.assert_array_equal(np.asarray(s1), np.asarray(s))
+
+    def test_exact_mode_is_jnp(self):
+        from diffudf_tpu.ops.sincos import sincos
+
+        z = jnp.linspace(-50.0, 50.0, 10_001, dtype=jnp.float32)
+        s, c = sincos(z, fast=False)
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(jnp.sin(z)))
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(jnp.cos(z)))
+
+    def test_exact_mode_kernel_identity(self, interp):
+        """fast_sincos=False keeps the kernel bit-comparable on f (the
+        pre-round-5 strict identity)."""
+        spec = SirenSpec(hidden=(64,) * 4)
+        params = init_siren(jax.random.PRNGKey(0), spec)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (256, 3), minval=-1, maxval=1)
+        f1, g1, h1 = pv.vgh_pallas(params, spec, x, tile=256, fast_sincos=False)
+        f0, g0, h0 = value_grad_hessian_packed(params, spec, x)
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=1e-6)
+
+    def test_fast_vs_exact_kernel_delta(self, interp):
+        """Fast mode tracks exact mode at the documented ≤~1e-6-per-
+        activation level through a full 8x256 stack."""
+        spec = SirenSpec(hidden=(256,) * 8)
+        params = init_siren(jax.random.PRNGKey(0), spec)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (256, 3), minval=-1, maxval=1)
+        ff, gf, hf = pv.vgh_pallas(params, spec, x, tile=256, fast_sincos=True)
+        fe, ge, he = pv.vgh_pallas(params, spec, x, tile=256, fast_sincos=False)
+        assert np.abs(np.asarray(ff) - np.asarray(fe)).max() < 1e-5
+        assert np.abs(np.asarray(gf) - np.asarray(ge)).max() < 1e-4
+        assert np.abs(np.asarray(hf) - np.asarray(he)).max() < 5e-3
