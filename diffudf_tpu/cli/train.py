@@ -16,6 +16,7 @@ import argparse
 import json
 import os
 import os.path as osp
+import time
 
 import numpy as np
 
@@ -63,6 +64,36 @@ def build_sampler(cfg: TrainConfig):
     return sampler, pc, mesh
 
 
+def build_sampler_overlapped(cfg: TrainConfig):
+    """Like :func:`build_sampler`, but the candidate-grid build runs on a
+    background host thread while training starts immediately on an exact
+    bootstrap oracle (:mod:`..data.async_build`).  Returns
+    ``(bootstrap_sampler, pc, mesh, handle)``; pass ``handle.poll`` as
+    ``Trainer.run(sampler_update=…)`` to hot-swap the table in."""
+    from ..data.async_build import overlapped_mesh_sampler, overlapped_pc_sampler
+
+    cache = cfg.dataset + "_oracle_cache.npz"
+    if os.environ.get("DIFFUDF_ORACLE_CACHE", "1") == "0":
+        cache = None
+    pc = load_point_cloud(cfg.dataset + "_pc.ply")
+    if pc.normals is None:
+        raise ValueError(f"{cfg.dataset}_pc.ply has no normals")
+    if cfg.only_pcloud:
+        sampler, handle = overlapped_pc_sampler(
+            pc.points, pc.normals, cfg.batch_size, cfg.sampling_percentiles,
+            cache_path=cache,
+        )
+        mesh = None
+    else:
+        mesh = load_mesh(cfg.dataset + "_t.obj")
+        tris = mesh.vertices[mesh.faces]
+        sampler, handle = overlapped_mesh_sampler(
+            pc.points, pc.normals, tris, cfg.batch_size,
+            cfg.sampling_percentiles, cache_path=cache,
+        )
+    return sampler, pc, mesh, handle
+
+
 def gt_plane_distances(cfg: TrainConfig, pc, mesh, width: int,
                        sampler=None) -> np.ndarray:
     """Unsigned GT distances on the x=0 slice plane (for the figure).
@@ -70,8 +101,10 @@ def gt_plane_distances(cfg: TrainConfig, pc, mesh, width: int,
     When the mesh-mode training sampler is passed, its coordinate-table
     oracle answers the plane queries directly (the pruned one-shot sweep
     costs ~5 s/shape on the beetle; the table gather is milliseconds and
-    uses the identical exactness-safe candidate sets the training GT
-    used).  The pc-mode candidate table is NOT reused here: it has no
+    uses the identical candidate sets the training GT used — near-exact,
+    i.e. the same exact-on-candidates guarantee class as the training
+    oracle, pinned at width 32 / atol 1e-5 on the torus in test_cli).
+    The pc-mode candidate table is NOT reused here: it has no
     off-surface exactness guarantee (measured up to 1.6e-2 plane error on
     a 100k cloud), so pc mode keeps the brute nearest-point sweep."""
     samples = plane_samples(width)
@@ -106,7 +139,8 @@ def generate_final_meshes(params, spec, cfg: TrainConfig, out_dir: str, mesh_ctx
 
 
 def setup_train(cfg: TrainConfig, make_meshes: bool = True, verbose: bool = True,
-                resume: bool = False, n_mesh_devices: int = 0):
+                resume: bool = False, n_mesh_devices: int = 0,
+                overlap_oracle: bool | None = None):
     """Programmatic entry (the ``cuantitative`` driver uses this too).
 
     ``resume=True`` continues an interrupted run from
@@ -120,15 +154,34 @@ def setup_train(cfg: TrainConfig, make_meshes: bool = True, verbose: bool = True
     divide the mesh fall back to a slower constrained-sharding step (with
     a RuntimeWarning).
 
-    Returns ``(training_time_seconds, meshes, state)`` where ``meshes`` is
-    the final mesh, a ``(meshMU, meshCAP)`` pair, or None (make_meshes
-    off / siren mode), and ``state`` is the final TrainState.
+    ``overlap_oracle`` (default: on unless ``DIFFUDF_ORACLE_OVERLAP=0``)
+    runs the host candidate-grid build on a background thread behind the
+    first training chunks (exact bootstrap oracle, hot-swap at a chunk
+    boundary — :mod:`..data.async_build`).
+
+    Returns ``(training_time_seconds, meshes, state)``.
+    ``training_time_seconds`` counts everything from sampler construction
+    through the last train chunk — INCLUDING the GT-oracle build (however
+    much of it the overlap failed to hide) and stage compile waits —
+    minus per-chunk callback work (checkpoint writes / periodic recon),
+    mirroring the reference's accounting, which pays GT queries inside
+    the timed epoch loop but subtracts reconstruction time
+    (``train.py:171-172,195-202,277-281``).  ``meshes`` is the final
+    mesh, a ``(meshMU, meshCAP)`` pair, or None (make_meshes off / siren
+    mode), and ``state`` is the final TrainState.
     """
     full_path = ckpt.create_output_paths(cfg.checkpoint_path, cfg.experiment_name)
     with open(osp.join(full_path, "params.json"), "w") as fh:
         json.dump(cfg.to_dict(), fh, indent=4)
 
-    sampler, pc, mesh = build_sampler(cfg)
+    if overlap_oracle is None:
+        overlap_oracle = os.environ.get("DIFFUDF_ORACLE_OVERLAP", "1") != "0"
+    t_pipeline = time.perf_counter()
+    handle = None
+    if overlap_oracle:
+        sampler, pc, mesh, handle = build_sampler_overlapped(cfg)
+    else:
+        sampler, pc, mesh = build_sampler(cfg)
     spec = cfg.network.to_spec()
 
     device_mesh = None
@@ -199,8 +252,31 @@ def setup_train(cfg: TrainConfig, make_meshes: bool = True, verbose: bool = True
             )
 
     state, losses, train_time = trainer.run(
-        state=state, start_epoch=start_epoch, callback=on_chunk
+        state=state, start_epoch=start_epoch, callback=on_chunk,
+        sampler_update=handle.poll if handle is not None else None,
     )
+    # GT-build-inclusive wall (reference-equivalent accounting, see
+    # docstring); the chunk-only device time stays available as train_time
+    pipeline_time = time.perf_counter() - t_pipeline - trainer.callback_seconds
+    if handle is not None:
+        # the trainer may have swapped mid-run; downstream consumers
+        # (slice-plane GT) should see the upgraded sampler when available
+        sampler = trainer.sampler
+        late = handle.poll()
+        if late is not None:
+            sampler = late
+        if verbose:
+            if trainer.last_swap_epoch is not None:
+                print(
+                    f"GT oracle table swapped in at epoch "
+                    f"{trainer.last_swap_epoch} (build "
+                    f"{handle.build_seconds:.1f}s, hidden behind training)"
+                )
+            elif handle.build_seconds is not None:
+                print(
+                    f"GT oracle build ({handle.build_seconds:.1f}s) outlasted "
+                    f"training; run completed on the exact bootstrap oracle"
+                )
 
     # losses.csv (reference ``train.py:394-395``; ';' separator) + TensorBoard
     logger.flush_csv("losses.csv", exclude=("lr", "epoch_loss"))
@@ -220,7 +296,7 @@ def setup_train(cfg: TrainConfig, make_meshes: bool = True, verbose: bool = True
         if verbose:
             print("Generating mesh")
         meshes = generate_final_meshes(state.best_params, spec, cfg, recon_dir)
-    return train_time, meshes, state
+    return pipeline_time, meshes, state
 
 
 def main(argv=None):
@@ -244,7 +320,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
     cfg = TrainConfig.from_json(args.experiment_path)
     t, _, _ = setup_train(cfg, resume=args.resume, n_mesh_devices=args.mesh)
-    print(f"Training time: {t:.1f}s")
+    print(f"Training time (incl. GT-oracle build): {t:.1f}s")
 
 
 if __name__ == "__main__":

@@ -258,6 +258,7 @@ def build_candidate_grid(
     k: int = CAND_GRID_K,
     lo: float = CAND_GRID_LO,
     hi: float = CAND_GRID_HI,
+    as_numpy: bool = False,
 ):
     """One-time candidate index: the k best-lower-bound triangles per cell
     of a g³ lattice over the query domain.
@@ -284,6 +285,8 @@ def build_candidate_grid(
     bound is ≥ the selected k-th, so the exclusion is exact.
 
     Returns cand (g³, k) int32 — grid geometry is the module constants.
+    ``as_numpy=True`` skips the device put (for the background build
+    thread of :mod:`.async_build`, which must not touch the device).
     """
     import numpy as np
     from scipy.spatial import cKDTree
@@ -394,7 +397,8 @@ def build_candidate_grid(
         # candidates (duplicates are harmless under the min reduction)
         reps = -(-k_out // cand.shape[1])
         cand = np.tile(cand, (1, reps))[:, :k_out]
-    return jnp.asarray(cand.astype(np.int32))
+    cand = cand.astype(np.int32)
+    return cand if as_numpy else jnp.asarray(cand)
 
 
 def point_triangle_distance_cells(
@@ -491,6 +495,35 @@ def point_triangle_distance_table(
 CAND_PTS_K = 64  # candidate cloud points per cell
 
 
+def build_point_candidate_indices(
+    cloud,
+    g: int = CAND_GRID_G,
+    k: int = CAND_PTS_K,
+    lo: float = CAND_GRID_LO,
+    hi: float = CAND_GRID_HI,
+) -> "np.ndarray":
+    """Host-side index half of :func:`build_point_candidate_grid`:
+    (g³, k) int32 numpy indices of the k cloud points nearest each cell
+    center (cKDTree; tiny clouds tile up to k).  No device traffic."""
+    import numpy as np
+    from scipy.spatial import cKDTree
+
+    pts = np.asarray(cloud, np.float32)
+    n = len(pts)
+    k_out = k
+    k = min(k, n)
+    centers = _cell_centers(g, lo, hi)
+    _, idx = cKDTree(pts).query(centers, k=k, workers=-1)
+    if k == 1:
+        idx = idx[:, None]
+    if idx.shape[1] < k_out:
+        # tiny clouds: keep the (g³, k) shape compile-stable by repeating
+        # (duplicates are harmless under the min reduction)
+        reps = -(-k_out // idx.shape[1])
+        idx = np.tile(idx, (1, reps))[:, :k_out]
+    return idx.astype(np.int32)
+
+
 def build_point_candidate_grid(
     cloud,
     g: int = CAND_GRID_G,
@@ -520,23 +553,9 @@ def build_point_candidate_grid(
     Returns table (g³, k, 3) f32 — grid geometry is the module constants.
     """
     import numpy as np
-    from scipy.spatial import cKDTree
 
     pts = np.asarray(cloud, np.float32)
-    n = len(pts)
-    k_out = k
-    k = min(k, n)
-
-    centers = _cell_centers(g, lo, hi)
-
-    _, idx = cKDTree(pts).query(centers, k=k, workers=-1)
-    if k == 1:
-        idx = idx[:, None]
-    if idx.shape[1] < k_out:
-        # tiny clouds: keep the (g³, k) shape compile-stable by repeating
-        # (duplicates are harmless under the min reduction)
-        reps = -(-k_out // idx.shape[1])
-        idx = np.tile(idx, (1, reps))[:, :k_out]
+    idx = build_point_candidate_indices(pts, g, k, lo, hi)
     return jnp.asarray(pts[idx])  # (g³, k, 3)
 
 

@@ -57,6 +57,10 @@ jax.tree_util.register_dataclass(
 )
 
 
+# process-wide compiled-chunk table (see Trainer._chunk_cache_key)
+_SHARED_CHUNK_FNS: dict = {}
+
+
 class Trainer:
     """Builds and runs compiled epoch chunks for one experiment."""
 
@@ -72,7 +76,6 @@ class Trainer:
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else data_mesh()
         self.optim = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
-        self._chunk_fns = {}
         self._vgh_op = None
         self._vg_op = None
         # Pallas fused ops run per shard under shard_map, so any mesh size
@@ -339,6 +342,43 @@ class Trainer:
 
         return batch_step
 
+    def _chunk_cache_key(self, stage: str):
+        """Everything the compiled chunk closure traces as a CONSTANT.
+
+        Chunk executables are shared across Trainer instances (sweeps
+        build one Trainer per shape): the sampler is a jit *argument*, so
+        two shapes with the same config family produce byte-identical
+        programs — but a fresh ``jax.jit`` object per Trainer would
+        re-enter the compile/lookup path per shape, which on the remote
+        platform costs a 20-380 s service round-trip even on a local
+        persistent-cache hit (measured round 5).  Module-level sharing
+        makes repeat dispatch a C++ fast-path hit instead.
+        """
+        cfg = self.cfg
+        if self.mesh.size > 1:
+            # the DP step IMPLEMENTATION (shard_map fast path vs the
+            # constrained-sharding fallback) is chosen at build time from
+            # the initial sampler's divisibility — key on it so a
+            # non-divisible Trainer never reuses a shard_map executable
+            try:
+                self.sampler.local(self.mesh.size)
+                divisible = True
+            except ValueError:
+                divisible = False
+        else:
+            divisible = True
+        return (
+            self.spec, stage, divisible,
+            tuple(d.id for d in self.mesh.devices.flat), self.mesh.axis_names,
+            cfg.batches_per_epoch, cfg.gt_mode, cfg.alpha,
+            tuple(cfg.loss_s1_weights), tuple(cfg.loss_s2_weights),
+            tuple(cfg.loss_weights),
+            cfg.num_epochs, cfg.s1_epochs, cfg.warmup_epochs,
+            cfg.warmup_lr, cfg.lr_s1, cfg.lr_s2, cfg.lr,
+            cfg.deriv_dtype, self._vgh_op is not None,
+            self._vg_op is not None,
+        )
+
     def _term_names(self, stage):
         if stage == "s1":
             return ("sdf_on_surf", "sdf_off_surf", "hessian_constraint", "grad_constraint")
@@ -347,9 +387,11 @@ class Trainer:
         return ("sdf_on_surf", "sdf_off_surf", "normal_constraint", "grad_constraint")
 
     def chunk_fn(self, stage: str):
-        if stage not in self._chunk_fns:
-            self._chunk_fns[stage] = self._build_chunk_fn(stage)
-        return self._chunk_fns[stage]
+        key = self._chunk_cache_key(stage)
+        fn = _SHARED_CHUNK_FNS.get(key)
+        if fn is None:
+            fn = _SHARED_CHUNK_FNS[key] = self._build_chunk_fn(stage)
+        return fn
 
     # --- host orchestration --------------------------------------------------
 
@@ -359,6 +401,7 @@ class Trainer:
         start_epoch: int = 0,
         chunk_size: int = 250,
         callback=None,
+        sampler_update=None,
     ):
         """Train from ``start_epoch`` to ``num_epochs``.
 
@@ -366,13 +409,24 @@ class Trainer:
         side) for checkpointing/printing; ``logs`` maps term name -> np array
         of per-epoch values within the chunk.
 
+        ``sampler_update()`` (optional) is polled before every chunk; when
+        it returns a sampler, training hot-swaps to it (the sampler is a
+        jit argument, so the swap costs one cached-executable lookup) —
+        the background-oracle-build handover of :mod:`..data.async_build`.
+        The swap epoch is recorded on ``self.last_swap_epoch``.
+
         Returns (final_state, losses dict of full-length np arrays,
         training_seconds — pure device time, excluding callback work, matching
         the reference's recon-time exclusion, ``train.py:171-172,277-281``).
+        Callback wall time is accumulated on ``self.callback_seconds`` so
+        pipeline-level accounting can subtract exactly the recon/checkpoint
+        work the reference also excludes.
         """
         if state is None:
             state = self.init_state()
         cfg = self.cfg
+        self.callback_seconds = 0.0
+        self.last_swap_epoch = None
 
         if 0 < cfg.epochs_to_checkpoint < chunk_size:
             # a checkpoint cadence shorter than the canonical chunk would pad
@@ -401,6 +455,12 @@ class Trainer:
         all_logs = []
         train_time = 0.0
         for lo, hi in edges:
+            if sampler_update is not None:
+                new_sampler = sampler_update()
+                if new_sampler is not None:
+                    self.sampler = new_sampler
+                    self.last_swap_epoch = lo
+                    sampler_update = None  # one-shot handover
             stage = self.stage_for_epoch(lo)
             fn = self.chunk_fn(stage)
             # every chunk scans exactly `chunk_size` indices — short chunks
@@ -416,7 +476,9 @@ class Trainer:
             logs = {k: np.asarray(v)[: hi - lo] for k, v in logs.items()}
             all_logs.append((lo, hi, logs))
             if callback is not None:
+                t_cb = time.perf_counter()
                 callback(hi, state, logs)
+                self.callback_seconds += time.perf_counter() - t_cb
 
         # stitch per-term logs into full arrays (terms differ across stages)
         keys = sorted({k for _, _, lg in all_logs for k in lg})

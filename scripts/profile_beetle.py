@@ -1,19 +1,29 @@
 #!/usr/bin/env python
 """Per-phase wall-clock breakdown of one full beetle run.
 
-The headline per-shape number (41 s train + dual N=256 extraction) is one
-scalar; this script splits it into the phases that matter for choosing the
-next optimization lever and commits the result:
+Two modes:
 
-  preprocess | data_build (oracle grid) | train (s1+s2 device time) |
-  slices | extract_device (sparse fused grid pass) | extract_host_mu |
-  extract_host_cap | metrics (chamfer x2 + NC)
+``python scripts/profile_beetle.py``  (warm)
+  -> results/BEETLE_phase_profile.json — every phase timed WARM
+  (executables compiled, oracle build timed cold-but-synchronous) so each
+  phase's marginal cost is attributable.  If a reused ``--workdir``
+  already holds the preprocessed asset, the preprocess phase is skipped
+  and recorded with ``"skipped": true`` so the ~0 s reading is
+  attributable (it is NOT the phase's real cost).
 
-    python scripts/profile_beetle.py   # -> results/BEETLE_phase_profile.json
-
-Uses the same entry points the quantitative driver uses (the per-phase sum
-reproduces its CSV wall time up to the phase boundaries).  Run warm (second
-invocation) for the headline breakdown — cold adds one-time XLA compiles.
+``python scripts/profile_beetle.py --cold``
+  -> results/BEETLE_cold_profile.json — the number a sweep user actually
+  experiences per NEW shape: a fresh temp dir, preprocess always run,
+  NO oracle cache, and the candidate-grid build OVERLAPPED behind device
+  training exactly as ``cli.train`` runs it (``data/async_build.py``).
+  Executables are warmed first by running the identical config family on
+  a synthetic sphere (in a sweep that's simply shape N-1; every train /
+  slice / extraction graph is shape-shared by design).  ``_total`` is the
+  honest everything-included per-shape wall: preprocess + train WITH the
+  GT build (hidden or not) + slices + dual N=256 extraction + metrics.
+  Fair-basis note: the reference pays its GT oracle *inside* the timed
+  epoch loop (``/root/reference/train.py:195-202``, ``src/dataset.py:
+  35-50``) and its published 363-398 s/shape excludes only recon time.
 """
 
 import argparse
@@ -27,83 +37,37 @@ REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def main(argv=None):
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--mesh", default="/root/reference/data/beetle/beetle.obj")
-    parser.add_argument("--samples", type=int, default=100000)
-    parser.add_argument("--workdir", default=None)
-    parser.add_argument("--out", default=osp.join(REPO, "results",
-                                                  "BEETLE_phase_profile.json"))
-    args = parser.parse_args(argv)
-
-    from diffudf_tpu.utils.cache import enable_compilation_cache
-    from diffudf_tpu.utils.timing import PhaseTimer, force_sync
-
-    enable_compilation_cache()
-    timer = PhaseTimer()
-
-    work = args.workdir or tempfile.mkdtemp(prefix="beetle_prof_")
-    dataset = osp.join(work, "beetle")
-    os.makedirs(dataset, exist_ok=True)
-
-    from diffudf_tpu.cli import preprocess
-
-    with timer.phase("preprocess"):
-        if not osp.exists(osp.join(dataset, "beetle_pc.ply")):
-            preprocess.main([args.mesh, dataset + "/", "-s", str(args.samples)])
-
-    import numpy as np
-
-    from diffudf_tpu.cli.quantitative import DEFAULT_CONFIG, mesh_metrics
-    from diffudf_tpu.cli.train import build_sampler
+def _beetle_cfg(dataset: str, workdir: str):
+    from diffudf_tpu.cli.quantitative import DEFAULT_CONFIG
     from diffudf_tpu.config import TrainConfig
-    from diffudf_tpu.data.mesh_io import load_point_cloud
-    from diffudf_tpu.train.loop import Trainer
 
     d = dict(DEFAULT_CONFIG)
-    d["dataset"] = osp.join(dataset, "beetle")
+    d["dataset"] = dataset
     d["alpha"] = 100  # beetle recipe (reference configs/train_cfg.json)
     d["experiment_name"] = "beetle_prof"
-    d["checkpoint_path"] = work
-    cfg = TrainConfig.from_dict(d)
-    spec = cfg.network.to_spec()
+    d["checkpoint_path"] = workdir
+    return TrainConfig.from_dict(d)
 
-    # data_build is timed COLD (the sweep's first-contact cost per shape);
-    # the content-hashed oracle cache then makes every retrain of the same
-    # asset a load — timed separately as data_build_cached
-    cache_file = d["dataset"] + "_oracle_cache.npz"
-    if osp.exists(cache_file):
-        os.remove(cache_file)
-    with timer.phase("data_build"):
-        sampler, pc, mesh = build_sampler(cfg)
-        trainer = Trainer(spec, sampler, cfg)
-        state = trainer.init_state()
-    with timer.phase("_data_build_cached"):  # excluded from _total
-        build_sampler(cfg)
 
-    # warmup train: in a sweep the (stage-shared) train graphs compile once
-    # per process and amortise over every shape — and on bad service days a
-    # single remote compile costs minutes (CLAUDE.md), which would swamp
-    # the marginal number this artifact exists to report
-    trainer.run(state=trainer.init_state())
-    state = trainer.init_state()
-    with timer.phase("train"):
-        state, losses, train_time = trainer.run(state=state)
-        force_sync(state.best_params)
+def _extract_and_metrics(timer, cfg, spec, state, pc_path, warm, ctx):
+    """Shared tail: slices + sparse dual extraction + metrics phases."""
+    import numpy as np
 
+    from diffudf_tpu.cli.generate_mc import _cap_postprocessed, _mu_postprocessed
+    from diffudf_tpu.cli.quantitative import mesh_metrics
+    from diffudf_tpu.cli.train import gt_plane_distances
+    from diffudf_tpu.data.mesh_io import Mesh, load_point_cloud
+    from diffudf_tpu.grid.lattice import extract_fields_sparse
     from diffudf_tpu.grid.slices import (plane_samples, predicted_slice,
                                          render_slice_figure)
-    from diffudf_tpu.cli.train import gt_plane_distances
 
-    recon = osp.join(work, "recon")
+    recon = osp.join(tempfile.mkdtemp(prefix="prof_recon_"), "recon")
     os.makedirs(recon, exist_ok=True)
     width = 512
-    # warmup pass: in a sweep these executables compile once per process
-    # and amortise over every shape, so the committed per-shape numbers
-    # time the warm (marginal) cost — the Pallas kernels recompile per
-    # process on the remote service and would otherwise dominate
-    predicted_slice(state.best_params, spec, width)
-    gt_plane_distances(cfg, pc, mesh, width, sampler=sampler)  # warmup
+    sampler, pc, mesh = ctx
+    if warm:
+        predicted_slice(state.best_params, spec, width)
+        gt_plane_distances(cfg, pc, mesh, width, sampler=sampler)
     with timer.phase("slices_pred"):
         pred = predicted_slice(state.best_params, spec, width)
     with timer.phase("slices_gt"):
@@ -111,12 +75,11 @@ def main(argv=None):
     with timer.phase("slices_figure"):
         render_slice_figure(pred, gt_d, cfg.gt_mode, cfg.alpha, width, recon)
 
-    from diffudf_tpu.grid.lattice import extract_fields_sparse
-
-    extract_fields_sparse(  # warmup (see slices note)
-        state.best_params, spec, cfg.resolution, cfg.gt_mode, cfg.alpha,
-        use_pallas=None,
-    )
+    if warm:
+        extract_fields_sparse(
+            state.best_params, spec, cfg.resolution, cfg.gt_mode, cfg.alpha,
+            use_pallas=None,
+        )
     with timer.phase("extract_device"):
         udf, dirs = extract_fields_sparse(
             state.best_params, spec, cfg.resolution, cfg.gt_mode, cfg.alpha,
@@ -124,9 +87,6 @@ def main(argv=None):
         )
         udf = np.asarray(udf)
         dirs = np.asarray(dirs)
-
-    from diffudf_tpu.cli.generate_mc import _cap_postprocessed, _mu_postprocessed
-    from diffudf_tpu.data.mesh_io import Mesh
 
     with timer.phase("extract_host_mu"):
         verts, faces = _mu_postprocessed(udf, dirs, None)
@@ -136,12 +96,155 @@ def main(argv=None):
         mesh_cap = Mesh(verts, faces)
 
     with timer.phase("metrics"):
-        gt = load_point_cloud(osp.join(dataset, "beetle_pc.ply"))
+        gt = load_point_cloud(pc_path)
         cap = mesh_metrics(mesh_cap, gt.points, gt.normals)
         mu = mesh_metrics(mesh_mu, gt.points, gt.normals)
+    return cap, mu
+
+
+def _write_sphere_asset(work: str, n_theta=16, n_phi=72):
+    """Synthetic warmup asset in the SAME compile-shape family as the
+    beetle: T=2160 faces -> the beetle's 4096 bootstrap bucket; the table
+    oracle and train graphs are mesh-independent anyway."""
+    import numpy as np
+
+    from diffudf_tpu.data.mesh_io import Mesh, save_mesh
+
+    th = np.linspace(0, np.pi, n_theta)
+    ph = np.linspace(0, 2 * np.pi, n_phi, endpoint=False)
+    tt, pp = np.meshgrid(th, ph, indexing="ij")
+    verts = 0.8 * np.stack(
+        [np.sin(tt) * np.cos(pp), np.sin(tt) * np.sin(pp), np.cos(tt)], -1
+    ).reshape(-1, 3)
+    faces = []
+    for i in range(n_theta - 1):
+        for j in range(n_phi):
+            a = i * n_phi + j
+            b = i * n_phi + (j + 1) % n_phi
+            faces.append((a, b, a + n_phi))
+            faces.append((b, b + n_phi, a + n_phi))
+    path = osp.join(work, "sphere.obj")
+    save_mesh(path, Mesh(np.asarray(verts, np.float32),
+                         np.asarray(faces, np.int32)))
+    return path
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--mesh", default="/root/reference/data/beetle/beetle.obj")
+    parser.add_argument("--samples", type=int, default=100000)
+    parser.add_argument("--workdir", default=None)
+    parser.add_argument("--cold", action="store_true",
+                        help="cold-asset profile: fresh dir, preprocess "
+                             "always, no oracle cache, overlapped build "
+                             "(-> BEETLE_cold_profile.json)")
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args(argv)
+    out = args.out or osp.join(
+        REPO, "results",
+        "BEETLE_cold_profile.json" if args.cold else "BEETLE_phase_profile.json",
+    )
+
+    from diffudf_tpu.utils.cache import enable_compilation_cache
+    from diffudf_tpu.utils.timing import PhaseTimer, force_sync
+
+    enable_compilation_cache()
+    timer = PhaseTimer()
+
+    work = args.workdir or tempfile.mkdtemp(prefix="beetle_prof_")
+    dataset_dir = osp.join(work, "beetle")
+    os.makedirs(dataset_dir, exist_ok=True)
+
+    from diffudf_tpu.cli import preprocess
+
+    preprocess_skipped = False
+    with timer.phase("preprocess"):
+        if args.cold or not osp.exists(osp.join(dataset_dir, "beetle_pc.ply")):
+            preprocess.main([args.mesh, dataset_dir + "/", "-s", str(args.samples)])
+        else:
+            preprocess_skipped = True
+
+    from diffudf_tpu.cli.train import build_sampler, build_sampler_overlapped
+    from diffudf_tpu.train.loop import Trainer
+
+    cfg = _beetle_cfg(osp.join(dataset_dir, "beetle"), work)
+    spec = cfg.network.to_spec()
+    pc_path = osp.join(dataset_dir, "beetle_pc.ply")
+
+    report_extra = {}
+    if args.cold:
+        # ---- warm the executables on a sphere (sweep shape N-1) ----------
+        sphere_dir = osp.join(work, "sphere")
+        os.makedirs(sphere_dir, exist_ok=True)
+        sphere_obj = _write_sphere_asset(work)
+        preprocess.main([sphere_obj, sphere_dir + "/", "-s", str(args.samples)])
+        wcfg = _beetle_cfg(osp.join(sphere_dir, "sphere"), work)
+        import dataclasses as _dc
+
+        wcfg = _dc.replace(wcfg, experiment_name="sphere_warm")
+        ws, wpc, wmesh, whandle = build_sampler_overlapped(wcfg)
+        wtr = Trainer(spec, ws, wcfg)
+        wstate, _, _ = wtr.run(state=wtr.init_state(),
+                               sampler_update=whandle.poll)
+        _extract_and_metrics(PhaseTimer(), wcfg, spec, wstate,
+                             osp.join(sphere_dir, "sphere_pc.ply"),
+                             warm=False, ctx=(wtr.sampler, wpc, wmesh))
+
+        # ---- the cold beetle: everything timed, build overlapped ---------
+        cache_file = cfg.dataset + "_oracle_cache.npz"
+        for f in (cache_file, cache_file + ".tri_cand.npz",
+                  cache_file + ".pc_cand.npz"):
+            if osp.exists(f):
+                os.remove(f)
+        with timer.phase("train_incl_gt_build"):
+            sampler, pc, mesh, handle = build_sampler_overlapped(cfg)
+            trainer = Trainer(spec, sampler, cfg)
+            state, losses, train_time = trainer.run(
+                state=trainer.init_state(), sampler_update=handle.poll
+            )
+            force_sync(state.best_params)
+        sampler = trainer.sampler
+        late = handle.poll()
+        if late is not None:
+            sampler = late
+        report_extra = {
+            "_gt_build_seconds": {"seconds": handle.build_seconds},
+            "_oracle_swap_epoch": {"epoch": trainer.last_swap_epoch},
+            "_train_device_time": {"seconds": train_time, "calls": 1},
+        }
+        cap, mu = _extract_and_metrics(timer, cfg, spec, state, pc_path,
+                                       warm=False, ctx=(sampler, pc, mesh))
+    else:
+        # ---- warm per-phase breakdown (the round-4 artifact) -------------
+        cache_file = cfg.dataset + "_oracle_cache.npz"
+        for f in (cache_file, cache_file + ".tri_cand.npz",
+                  cache_file + ".pc_cand.npz"):
+            if osp.exists(f):
+                os.remove(f)
+        with timer.phase("data_build"):
+            sampler, pc, mesh = build_sampler(cfg)
+            trainer = Trainer(spec, sampler, cfg)
+            state = trainer.init_state()
+        with timer.phase("_data_build_cached"):  # excluded from _total
+            build_sampler(cfg)
+
+        # warmup train: in a sweep the (stage-shared) train graphs compile
+        # once per process and amortise over every shape
+        trainer.run(state=trainer.init_state())
+        state = trainer.init_state()
+        with timer.phase("train"):
+            state, losses, train_time = trainer.run(state=state)
+            force_sync(state.best_params)
+        report_extra = {
+            "_train_device_time": {"seconds": train_time, "calls": 1},
+        }
+        cap, mu = _extract_and_metrics(timer, cfg, spec, state, pc_path,
+                                       warm=True, ctx=(sampler, pc, mesh))
 
     report = timer.report()
-    report["_train_device_time"] = {"seconds": train_time, "calls": 1}
+    report.update(report_extra)
+    if preprocess_skipped:
+        report["preprocess"]["skipped"] = True
     report["_quality"] = {
         "cap_l1": cap[0], "cap_l2": cap[1], "cap_nc": cap[2],
         "mu_l1": mu[0], "mu_l2": mu[1], "mu_nc": mu[2],
@@ -150,7 +253,7 @@ def main(argv=None):
                 if not k.startswith("_"))
     report["_total"] = {"seconds": total}
     print(json.dumps(report, indent=1))
-    with open(args.out, "w") as fh:
+    with open(out, "w") as fh:
         json.dump(report, fh, indent=1)
         fh.write("\n")
 

@@ -41,15 +41,29 @@ import pytest  # noqa: E402
 def _hang_watchdog():
     """Per-test deadlock backstop (pytest-timeout is not in the image).
 
-    The XLA collective deadline above already aborts a stuck CPU
-    rendezvous at 900 s; this catches everything else (host-side deadlock,
-    runaway compile) by dumping all thread tracebacks and hard-exiting
-    instead of hanging the suite indefinitely.  30 min: a legitimate test
-    can ride out one full 900 s collective straggler (tolerated by design
-    under load, see the XLA_FLAGS note above) plus its normal work and
-    still clear this with margin."""
+    Two timers per test, both owned HERE (faulthandler has a single
+    global timer, so pyproject's ``faulthandler_timeout`` would be
+    silently clobbered by this fixture — it is intentionally not set):
+
+      * 900 s: non-fatal all-thread traceback dump via threading.Timer —
+        makes a straggling test diagnosable without killing the run (the
+        ``flagship``-marked test legitimately runs ~5-10 min under load;
+        anything else past 15 min is news);
+      * 1800 s: hard exit via faulthandler.dump_traceback_later.  The XLA
+        collective deadline above already aborts a stuck CPU rendezvous
+        at 900 s; this catches everything else (host-side deadlock,
+        runaway compile) instead of hanging the suite indefinitely.
+        30 min: a legitimate test can ride out one full 900 s collective
+        straggler plus its normal work and still clear this with margin.
+    """
+    import threading
+
+    diag = threading.Timer(900.0, faulthandler.dump_traceback)
+    diag.daemon = True
+    diag.start()
     faulthandler.dump_traceback_later(1800, exit=True)
     yield
+    diag.cancel()
     faulthandler.cancel_dump_traceback_later()
 
 

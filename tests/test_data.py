@@ -434,7 +434,8 @@ class TestOracleCache:
         tris = self._soup(rng)
         path = str(tmp_path / "shape_oracle_cache.npz")
         cand1 = np.asarray(oc.cached_candidate_grid(tris, path))
-        assert (tmp_path / "shape_oracle_cache.npz").exists()
+        # per-field file layout (concurrent-writer safe, round 5)
+        assert (tmp_path / "shape_oracle_cache.npz.tri_cand.npz").exists()
         # second call must LOAD, not rebuild
         monkeypatch.setattr(
             oc.md, "build_candidate_grid",
@@ -442,6 +443,25 @@ class TestOracleCache:
         )
         cand2 = np.asarray(oc.cached_candidate_grid(tris, path))
         np.testing.assert_array_equal(cand1, cand2)
+
+    def test_mesh_cache_reads_legacy_merged_file(self, rng, tmp_path,
+                                                 monkeypatch):
+        """Round-4 merged-npz caches stay readable (migration path)."""
+        from diffudf_tpu.data import oracle_cache as oc
+
+        tris = self._soup(rng)
+        path = str(tmp_path / "legacy.npz")
+        cand = oc.cached_candidate_grid_host(tris, None)
+        key = oc._key("tri", np.asarray(tris, np.float32),
+                      oc.md.CAND_GRID_G, oc.md.CAND_GRID_K,
+                      oc.md.CAND_GRID_LO, oc.md.CAND_GRID_HI)
+        np.savez(path, tri_cand=cand, tri_cand_key=np.asarray(key))
+        monkeypatch.setattr(
+            oc.md, "build_candidate_grid",
+            lambda *a, **k: (_ for _ in ()).throw(AssertionError("rebuilt")),
+        )
+        got = oc.cached_candidate_grid_host(tris, path)
+        np.testing.assert_array_equal(got, cand)
 
     def test_mesh_cache_stale_on_changed_geometry(self, rng, tmp_path):
         from diffudf_tpu.data import oracle_cache as oc
