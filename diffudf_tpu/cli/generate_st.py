@@ -77,9 +77,12 @@ def create_projectional_image(
     else:
         from ..render.tracer import trace_rays_compacted
 
+        on_device = isinstance(t0, jnp.ndarray) and not isinstance(t0, np.ndarray)
         positions, hits, iters = trace_rays_compacted(
-            params, spec, np.asarray(t0, np.float32),
-            np.asarray(rays, np.float32), np.asarray(mask),
+            params, spec,
+            t0 if on_device else np.asarray(t0, np.float32),
+            rays if on_device else np.asarray(rays, np.float32),
+            mask if on_device else np.asarray(mask),
             gt_mode=gt_mode, alpha=alpha,
             surface_threshold=rendering_config["surface_threshold"],
             max_iterations=rendering_config.get("max_iterations", 100),
@@ -142,8 +145,13 @@ def create_projectional_image(
     pc1 = np.asarray(attrs["pc1"])[:n_real]
     pc2 = np.asarray(attrs["pc2"])[:n_real]
 
-    # sign-align normals against the incoming rays (render_st.py:104-108)
-    align = -np.sign(np.sum(normals * rays[hits_np], axis=1, keepdims=True))
+    # sign-align normals against the incoming rays (render_st.py:104-108);
+    # device-camera rays are gathered per hit row (no full-frame download)
+    if isinstance(rays, jnp.ndarray) and not isinstance(rays, np.ndarray):
+        hit_rays = gather_rows(rays, hit_idx)
+    else:
+        hit_rays = rays[hits_np]
+    align = -np.sign(np.sum(normals * hit_rays, axis=1, keepdims=True))
     normals = normals * align
 
     color_map = None
@@ -247,12 +255,33 @@ def generate_st(config: dict):
             activation=network_config.get("activation", "sine"),
         )
 
+    # on-device f32 camera (one fused dispatch; rays/entries never cross
+    # the link) — default for the model path; the f64 host camera remains
+    # under "device_camera": false (golden-parity path) and is always used
+    # for the GT-trace mode and the multi-chip sharded path, which need
+    # host arrays (see results/ST_phase_profile.json for why this matters:
+    # the host camera was 73% of a 512² render wall on a 1-core box)
+    device_camera = (
+        rendering.get("device_camera", True)
+        and network_config.get("gt_mode") != "gt"
+        and mesh is None
+    )
     for _ in range(rendering.get("sample_rate", 1)):
         noise = rng.normal(0.5, 0.35)
-        rays = world_rays(W, H, rendering["fov"], rendering["camera_position"], noise)
-        t0, valid = cube_entry_points(
-            rays, rendering["camera_position"], rendering.get("planes")
-        )
+        if device_camera:
+            from ..render.camera import camera_rays_device
+
+            rays, t0, valid = camera_rays_device(
+                W, H, rendering["fov"], rendering["camera_position"], noise,
+                rendering.get("planes"),
+            )
+        else:
+            rays = world_rays(
+                W, H, rendering["fov"], rendering["camera_position"], noise
+            )
+            t0, valid = cube_entry_points(
+                rays, rendering["camera_position"], rendering.get("planes")
+            )
         if network_config.get("gt_mode") == "gt":
             colors += create_projectional_image_gt(
                 config["mesh_path"], rays, t0, valid,

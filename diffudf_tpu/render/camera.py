@@ -1,13 +1,27 @@
 """Pinhole camera: pixel rays, look-at orientation, domain-cube entry points.
 
-Host-side numpy mirror of the reference camera setup (``generate_st.py:
-9-101``): NDC pixel grid with per-pass jitter (anti-aliasing), a look-at
-rotation pointing the camera at the origin, and ray×cube-face intersection to
-find each ray's entry into the [-1, 1]³ field domain.
+Two implementations of the reference camera setup (``generate_st.py:
+9-101``) — NDC pixel grid with per-pass jitter (anti-aliasing), a look-at
+rotation pointing the camera at the origin, and ray×cube-face intersection
+to find each ray's entry into the [-1, 1]³ field domain:
+
+  * the numpy f64 functions below (the original, golden-pinned path);
+  * :func:`camera_rays_device` — the same math as ONE jitted f32 device
+    dispatch feeding the march directly.  The round-5 ST profile
+    (``results/ST_phase_profile.json``) showed the host f64 camera was
+    10.5 s of a 14.3 s 512² render on the 1-core box — 73% of the wall
+    spent before the first field eval.  On device it is ~milliseconds and
+    the rays never cross the link.  f32 rays differ from the f64 path at
+    ~1e-7 relative, which can flip borderline silhouette hits — the
+    golden image suite therefore pins the f64 path
+    (``rendering_config["device_camera"] = false``).
 """
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import numpy as np
 
 
@@ -112,3 +126,76 @@ def cube_entry_points(ray_dirs: np.ndarray, camera_position, planes=None):
     # below a pixel footprint)
     start[valid] = np.clip(start[valid], -1.0 + 1e-5, 1.0 - 1e-5)
     return start, valid
+
+
+@partial(jax.jit, static_argnames=("width", "height", "fov_degrees", "planes"))
+def _camera_rays_jit(width, height, fov_degrees, cam, rot, noise, planes):
+    import jax.numpy as jnp
+
+    # pixel grid (pixel_rays semantics, f32, on device)
+    nx = (jnp.arange(width, dtype=jnp.float32) + noise) / width
+    ny = (jnp.arange(height, dtype=jnp.float32) + noise) / height
+    sx = 2.0 * nx - 1.0
+    sy = 2.0 * ny - 1.0
+    aspect = width / height
+    t = np.tan(np.radians(fov_degrees) / 2).astype(np.float32)
+    cx, cy = jnp.meshgrid(sx * aspect * t, sy * t, indexing="xy")
+    p = jnp.stack([cx, cy, -jnp.ones_like(cx)], axis=-1).reshape(-1, 3)
+
+    # world rays (world_rays semantics): flip z, rotate, normalise
+    d = p * jnp.asarray([1.0, 1.0, -1.0], jnp.float32)
+    d = d @ rot.T
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    # cube entry (cube_entry_points semantics)
+    p_pos = planes if planes is not None else (1, -1, 1, -1, 1, -1)
+    plane_normals = jnp.asarray(
+        [[1, 0, 0], [1, 0, 0], [0, 1, 0], [0, 1, 0], [0, 0, 1], [0, 0, 1]],
+        jnp.float32,
+    )
+    plane_points = jnp.asarray(
+        [
+            [p_pos[0], 0, 0], [p_pos[1], 0, 0],
+            [0, p_pos[2], 0], [0, p_pos[3], 0],
+            [0, 0, p_pos[4]], [0, 0, p_pos[5]],
+        ],
+        jnp.float32,
+    ) - cam
+    num = jnp.sum(plane_points * plane_normals, axis=-1)  # (6,)
+    den = d @ plane_normals.T  # (N, 6)
+    safe_den = jnp.where(jnp.abs(den) < 1e-5, 1.0, den)
+    ds = num[None, :] / safe_den
+    hits = d[:, None, :] * ds[..., None] + cam  # (N, 6, 3)
+    inside = jnp.all((hits >= -1.001) & (hits <= 1.001), axis=-1) & (
+        jnp.abs(den) > 1e-5
+    )
+    ds = jnp.where((ds >= 0) & inside, ds, jnp.inf)
+    t_entry = jnp.min(ds, axis=-1)
+    valid = jnp.any(inside, axis=-1) & jnp.isfinite(t_entry)
+    start = jnp.where(
+        valid[:, None], d * jnp.where(valid, t_entry, 0.0)[:, None] + cam, 0.0
+    )
+    start = jnp.where(
+        valid[:, None], jnp.clip(start, -1.0 + 1e-5, 1.0 - 1e-5), start
+    )
+    return d, start, valid
+
+
+def camera_rays_device(width, height, fov_degrees, camera_position,
+                       noise: float = 0.5, planes=None):
+    """Fused on-device camera: -> (rays, entry points, valid) jax arrays.
+
+    Same semantics as ``world_rays`` + ``cube_entry_points`` in f32, one
+    jitted dispatch (the 3×3 look-at rotation stays host f64 — it is nine
+    data-independent scalars).  See the module docstring for when to
+    prefer the f64 host path.
+    """
+    import jax.numpy as jnp
+
+    cam = np.asarray(camera_position, dtype=np.float64)
+    rot = look_at_rotation(cam)
+    return _camera_rays_jit(
+        int(width), int(height), float(fov_degrees),
+        jnp.asarray(cam, jnp.float32), jnp.asarray(rot, jnp.float32),
+        jnp.float32(noise), tuple(planes) if planes is not None else None,
+    )

@@ -353,7 +353,10 @@ class TestResume:
             "resolution": 0,
         }
         cfg1 = TrainConfig.from_dict(base)
-        setup_train(cfg1, make_meshes=False, verbose=False)
+        # n_mesh_devices=1 pins a single device: this test is about resume
+        # mechanics, not DP, and 192-point batch groups don't divide the
+        # 8-device suite mesh (the fallback would RuntimeWarn)
+        setup_train(cfg1, make_meshes=False, verbose=False, n_mesh_devices=1)
         state_file = (demo_dir / "res_resume" / "e" / "models" / "train_state.npz")
         assert state_file.exists()
         import numpy as np
@@ -362,7 +365,8 @@ class TestResume:
         assert epoch_before == 20
         # extend the schedule and resume
         cfg2 = TrainConfig.from_dict({**base, "num_epochs": 30})
-        t, _, st = setup_train(cfg2, make_meshes=False, verbose=False, resume=True)
+        t, _, st = setup_train(cfg2, make_meshes=False, verbose=False,
+                               resume=True, n_mesh_devices=1)
         epoch_after = int(np.load(state_file)["epoch"])
         assert epoch_after == 30
 
@@ -415,7 +419,9 @@ class TestSirenMode:
                         "pretrained_dict": "None"},
             "resolution": 20,
         })
-        t, mesh, state = setup_train(cfg, verbose=False)
+        # single device: 256-point batch groups don't divide the 8-device
+        # suite mesh (the DP fallback would RuntimeWarn; DP has its own test)
+        t, mesh, state = setup_train(cfg, verbose=False, n_mesh_devices=1)
         out = demo_dir / "res_siren" / "s"
         assert (out / "reconstructions" / "mc_mesh_best.obj").exists()
         # signed MC of a siren SDF: single mesh artifact (not _MU/_CAP)

@@ -334,3 +334,37 @@ class TestTracerHelpers:
             params, spec, 2048, gt_mode="tanh", alpha=alpha,
             surface_threshold=0.01, max_iterations=20, segment=8,
         )
+
+
+class TestDeviceCamera:
+    """camera_rays_device == the f64 host camera path (round-5 ST lever)."""
+
+    def test_matches_host_path(self):
+        from diffudf_tpu.render.camera import camera_rays_device
+
+        W, H, fov = 64, 48, 40.0
+        cam = np.array([2.0, 2.0, 3.5])
+        for noise in (0.5, 0.17):
+            rays_h = world_rays(W, H, fov, cam, noise)
+            t0_h, valid_h = cube_entry_points(rays_h, cam, None)
+            rays_d, t0_d, valid_d = camera_rays_device(W, H, fov, cam, noise)
+            np.testing.assert_allclose(np.asarray(rays_d), rays_h, atol=2e-6)
+            np.testing.assert_array_equal(np.asarray(valid_d), valid_h)
+            # entry points: f32 vs f64 ray/plane intersection, edge rays
+            # graze the cube faces -> compare only where both are valid
+            np.testing.assert_allclose(
+                np.asarray(t0_d)[valid_h], t0_h[valid_h], atol=1e-4
+            )
+
+    def test_custom_planes(self):
+        from diffudf_tpu.render.camera import camera_rays_device
+
+        cam = np.array([0.0, 0.0, 2.5])
+        planes = [0.5, -0.5, 0.5, -0.5, 0.5, -0.5]
+        rays_h = world_rays(32, 32, 60.0, cam, 0.5)
+        t0_h, valid_h = cube_entry_points(rays_h, cam, planes)
+        _, t0_d, valid_d = camera_rays_device(32, 32, 60.0, cam, 0.5, planes)
+        np.testing.assert_array_equal(np.asarray(valid_d), valid_h)
+        np.testing.assert_allclose(
+            np.asarray(t0_d)[valid_h], t0_h[valid_h], atol=1e-4
+        )
