@@ -17,6 +17,11 @@ oracle (the reference's published-table input mode, ``onlyPCloud``);
 ``--mode mesh`` uses the exact point-triangle *coordinate-table* oracle on
 a synthetic triangulated sphere (the reference paper's primary input mode,
 ``src/dataset.py:14-70``) and also writes ``results/BENCH_mesh.json``.
+``--mode dp`` measures data-parallel scaling over ALL visible devices
+(shard_map over the 1-D mesh, per-device sampling, gradient psum): it
+times the same s1 workload at mesh size 1 and mesh size N and writes
+``results/BENCH_dp.json`` with the scaling ratio — on a single-chip
+environment it degenerates to N=1 and says so in the note.
 """
 
 import argparse
@@ -49,7 +54,7 @@ def _uv_sphere(radius=0.7, n_theta=48, n_phi=96):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--mode", choices=("pc", "mesh"), default="pc")
+    parser.add_argument("--mode", choices=("pc", "mesh", "dp"), default="pc")
     args = parser.parse_args()
     import jax
     import jax.numpy as jnp
@@ -79,6 +84,10 @@ def main():
         lr_s1=1e-5, lr_s2=1e-7, warmup_lr=1e-4,
     )
     spec = SirenSpec(hidden=(256,) * 8)
+
+    if args.mode == "dp":
+        _dp_scaling(jax, pts, normals, spec)
+        return
     if args.mode == "mesh":
         verts, faces = _uv_sphere()
         tris = verts[faces]  # (F, 3, 3)
@@ -125,6 +134,64 @@ def main():
                                "results", "BENCH_mesh.json"), "w") as fh:
             json.dump(rec, fh)
             fh.write("\n")
+
+
+def _dp_scaling(jax, pts, normals, spec):
+    """steps/s at mesh size 1 vs mesh size N (all visible devices)."""
+    import jax.numpy as jnp
+
+    from diffudf_tpu.config import TrainConfig
+    from diffudf_tpu.data.sampling import TrainingSampler
+    from diffudf_tpu.parallel.mesh import data_mesh
+    from diffudf_tpu.train.loop import Trainer
+    from diffudf_tpu.utils.timing import force_sync
+
+    n = len(jax.devices())
+    # batch groups must divide the mesh: 30000 -> 10000/10000/10000 splits
+    # any n | 10000; otherwise bump to the nearest clean multiple
+    group = -(-10000 // n) * n
+    cfg = TrainConfig(
+        num_epochs=3000, s1_epochs=2000, warmup_epochs=1000,
+        batch_size=3 * group, sampling_percentiles=(1.0 / 3.0, 2.0 / 3.0),
+        alpha=10.0, lr_s1=1e-5, lr_s2=1e-7, warmup_lr=1e-4,
+    )
+    sampler = TrainingSampler.from_point_cloud(
+        pts, normals, cfg.batch_size, cfg.sampling_percentiles
+    )
+
+    def measure(k):
+        trainer = Trainer(spec, sampler, cfg, mesh=data_mesh(k))
+        state = trainer.init_state()
+        chunk = trainer.chunk_fn("s1")
+        n_steps = 100
+        state, _ = chunk(state, sampler,
+                         jnp.arange(0, n_steps, dtype=jnp.int32))
+        force_sync(state.params)
+        t0 = time.perf_counter()
+        state, _ = chunk(state, sampler,
+                         jnp.arange(n_steps, 2 * n_steps, dtype=jnp.int32))
+        force_sync(state.params)
+        return n_steps / (time.perf_counter() - t0)
+
+    s1 = measure(1)
+    sn = measure(n) if n > 1 else s1
+    rec = {
+        "metric": "dp_steps_per_sec",
+        "value": round(sn, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(sn / (3000.0 / 398.0), 2),
+        "mesh_devices": n,
+        "single_device_steps_per_sec": round(s1, 2),
+        "scaling": round(sn / s1, 2),
+        "note": ("only one device visible — DP degenerates to the "
+                 "single-chip bench" if n == 1 else
+                 f"shard_map DP over {n} devices, 30k union batch"),
+    }
+    print(json.dumps(rec))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "results", "BENCH_dp.json"), "w") as fh:
+        json.dump(rec, fh)
+        fh.write("\n")
 
 
 if __name__ == "__main__":

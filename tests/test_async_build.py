@@ -175,3 +175,32 @@ class TestTrainerSwap:
         assert trainer.sampler is upgraded
         assert np.isfinite(losses["total"]).all()
         assert trainer.callback_seconds == 0.0
+
+
+class TestBootstrapUnderDP:
+    def test_mesh_bootstrap_shard_map_step(self, cloud):
+        """The flat brute bootstrap oracle must trace inside the 8-device
+        shard_map step (each device sweeps its own sub-batch)."""
+        import jax.numpy as jnp
+
+        from diffudf_tpu.config import TrainConfig
+        from diffudf_tpu.fields.siren import SirenSpec
+        from diffudf_tpu.parallel.mesh import data_mesh
+        from diffudf_tpu.train.loop import Trainer
+
+        pts, nrm = cloud
+        tris = _sphere_tris()
+        boot = TrainingSampler.from_mesh_bootstrap(
+            pts, nrm, tris, 8 * 48, [1 / 3, 2 / 3]
+        )
+        cfg = TrainConfig(
+            num_epochs=2, s1_epochs=2, warmup_epochs=0, batch_size=8 * 48,
+            sampling_percentiles=(1 / 3, 2 / 3), alpha=10.0,
+            lr_s1=1e-4, lr_s2=1e-6,
+        )
+        trainer = Trainer(SirenSpec(hidden=(16, 16)), boot, cfg,
+                          mesh=data_mesh(8))
+        state, logs = trainer.chunk_fn("s1")(
+            trainer.init_state(), boot, jnp.arange(2, dtype=jnp.int32)
+        )
+        assert np.isfinite(np.asarray(logs["total"])).all()
