@@ -142,9 +142,18 @@ def _camera_rays_jit(width, height, fov_degrees, cam, rot, noise, planes):
     cx, cy = jnp.meshgrid(sx * aspect * t, sy * t, indexing="xy")
     p = jnp.stack([cx, cy, -jnp.ones_like(cx)], axis=-1).reshape(-1, 3)
 
-    # world rays (world_rays semantics): flip z, rotate, normalise
+    # world rays (world_rays semantics): flip z, rotate, normalise.
+    # The rotation is spelled elementwise, NOT as `d @ rot.T`: on TPU the
+    # default matmul precision feeds the MXU bf16 inputs, which quantizes
+    # ray directions to ~2e-3 — visible as diagonal shading stripes and
+    # thousands of flipped silhouette hits (measured at 256²/fov 40).
+    # Three fused multiply-adds per component are exact f32 on the VPU.
     d = p * jnp.asarray([1.0, 1.0, -1.0], jnp.float32)
-    d = d @ rot.T
+    d = (
+        d[:, 0:1] * rot[:, 0][None, :]
+        + d[:, 1:2] * rot[:, 1][None, :]
+        + d[:, 2:3] * rot[:, 2][None, :]
+    )
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
     # cube entry (cube_entry_points semantics)
@@ -162,7 +171,10 @@ def _camera_rays_jit(width, height, fov_degrees, cam, rot, noise, planes):
         jnp.float32,
     ) - cam
     num = jnp.sum(plane_points * plane_normals, axis=-1)  # (6,)
-    den = d @ plane_normals.T  # (N, 6)
+    # plane normals are axis-aligned unit vectors: the dot is a component
+    # pick — exact, and avoids another bf16-default matmul (see above)
+    den = jnp.stack([d[:, 0], d[:, 0], d[:, 1], d[:, 1], d[:, 2], d[:, 2]],
+                    axis=-1)  # (N, 6)
     safe_den = jnp.where(jnp.abs(den) < 1e-5, 1.0, den)
     ds = num[None, :] / safe_den
     hits = d[:, None, :] * ds[..., None] + cam  # (N, 6, 3)

@@ -368,3 +368,30 @@ class TestDeviceCamera:
         np.testing.assert_allclose(
             np.asarray(t0_d)[valid_h], t0_h[valid_h], atol=1e-4
         )
+
+    def test_no_matmul_in_camera_jaxpr(self):
+        """The camera must contain NO dot_general: on TPU the default
+        matmul precision feeds the MXU bf16 inputs, which quantized ray
+        directions to ~2e-3 (visible shading stripes, thousands of flipped
+        silhouette hits at 256² fov 40 — caught on the real chip, invisible
+        to these CPU tests where default matmuls are f32).  The rotation
+        and plane dots are spelled elementwise; this pins that invariant
+        where the CPU suite CAN check it."""
+        import jax
+        import jax.numpy as jnp
+
+        from diffudf_tpu.render.camera import (
+            _camera_rays_jit,
+            look_at_rotation,
+        )
+
+        cam = np.array([2.0, 2.0, 3.5])
+        jaxpr = jax.make_jaxpr(
+            lambda c, r: _camera_rays_jit.__wrapped__(
+                64, 48, 40.0, c, r, jnp.float32(0.5), None
+            )
+        )(
+            jnp.asarray(cam, jnp.float32),
+            jnp.asarray(look_at_rotation(cam), jnp.float32),
+        )
+        assert "dot_general" not in str(jaxpr)
