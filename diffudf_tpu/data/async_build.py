@@ -100,21 +100,44 @@ class OracleBuildHandle:
         return self.poll()
 
 
+# Largest padded triangle bucket the FLAT bootstrap sweep may run on.
+# Its fused elementwise chain holds O(Q·T) f32 temps; at the 30k-point
+# recipe (Q=20k off-surface queries) the 16384 bucket peaks ~1.3 GB/temp
+# and fits v5e HBM, while the next bucket (65536 — e.g. the 36k-face demo
+# skirt) OOMs the chip (measured: RESOURCE_EXHAUSTED mid-sweep).  Above
+# the cap the build runs synchronously instead — it is seconds at any
+# scale (``build_candidate_grid``) and the accounting includes it either
+# way, so only the few-second overlap win is forfeited.
+BOOT_TRI_MAX = 16384
+
+
 def overlapped_mesh_sampler(points, normals, tri_verts, batch_size,
                             percentiles, stddev=0.01,
                             cache_path: str | None = None):
     """(bootstrap sampler, handle) for mesh mode: training can start now;
-    the coordinate-table sampler arrives via ``handle.poll()``."""
+    the coordinate-table sampler arrives via ``handle.poll()``.
+
+    For meshes whose padded triangle bucket exceeds ``BOOT_TRI_MAX`` the
+    bootstrap sweep cannot run (HBM), so the candidate-grid build happens
+    HERE, synchronously, and the returned handle is ``None`` — the caller
+    gets the final table sampler directly (build-then-train)."""
     import dataclasses
 
     import jax.numpy as jnp
     import numpy as np
 
+    from ..utils.buckets import next_bucket
     from .mesh_distance import build_triangle_table
     from .oracle_cache import cached_candidate_grid_host
     from .sampling import TrainingSampler
 
     real = np.asarray(tri_verts, np.float32)
+    if next_bucket(len(real), TrainingSampler.BOOT_TRI_BUCKET) > BOOT_TRI_MAX:
+        sampler = TrainingSampler.from_mesh(
+            points, normals, real, batch_size, percentiles, stddev,
+            cache_path=cache_path,
+        )
+        return sampler, None
     boot = TrainingSampler.from_mesh_bootstrap(
         points, normals, real, batch_size, percentiles, stddev
     )

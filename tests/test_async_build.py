@@ -114,6 +114,23 @@ class TestHandover:
             np.asarray(sdf_b), np.asarray(sdf_u), atol=1e-5
         )
 
+    def test_large_mesh_builds_synchronously(self, cloud, monkeypatch):
+        """Above BOOT_TRI_MAX the flat bootstrap sweep would OOM the chip
+        (O(Q·T) fused temps — measured RESOURCE_EXHAUSTED at the 65536
+        bucket with the 30k recipe), so the overlap is skipped: the build
+        runs synchronously and the handle is None."""
+        from diffudf_tpu.data import async_build
+
+        pts, nrm = cloud
+        tris = _sphere_tris()
+        monkeypatch.setattr(async_build, "BOOT_TRI_MAX",
+                            len(tris) - 1)  # force the fallback cheaply
+        sampler, handle = overlapped_mesh_sampler(
+            pts, nrm, tris, 300, [0.334, 0.666], cache_path=None
+        )
+        assert handle is None
+        assert sampler.tri_table is not None  # final table oracle, no boot
+
     def test_pc_handover(self, cloud, tmp_path):
         pts, nrm = cloud
         boot, handle = overlapped_pc_sampler(
