@@ -66,6 +66,8 @@ def main(argv=None):
     # Taubin smoothing of the extracted vertices (generate_mc keys
     # refine_vertices=2, taubin_iters=10 — see extract/refine.py,
     # postprocess.taubin_smooth; ladder in PERFORMANCE.md)
+    import time
+
     from diffudf_tpu.cli.generate_mc import run_mc
     from diffudf_tpu.cli.quantitative import CSV_HEADER, mesh_metrics
     from diffudf_tpu.data.mesh_io import load_point_cloud
@@ -75,18 +77,29 @@ def main(argv=None):
     params = ckpt.load_params(
         osp.join(exp_dir, "beetle", "models", "model_best.npz")
     )
+    t_extract = time.perf_counter()
     mesh_mu, mesh_cap = run_mc(
         params, SirenSpec(hidden=(256,) * 8), "tanh", 385,
         osp.join(work, "enhanced.obj"), alpha=100.0, algorithm="both",
         refine_steps=2, taubin_iters=10,
     )
+    t_extract = time.perf_counter() - t_extract
+    # the row's time follows the reference accounting (train wall incl. GT
+    # build, recon excluded) PLUS this variant's extra N=385 extraction:
+    # the enhanced mesh costs its own extraction on top of the same train.
+    train_time = float(open(dst).read().splitlines()[1].split(",")[1])
     gt = load_point_cloud(osp.join(dataset, "beetle_pc.ply"))
     cap = mesh_metrics(mesh_cap, gt.points, gt.normals)
     mu = mesh_metrics(mesh_mu, gt.points, gt.normals)
     dst2 = osp.join(args.out, "results_beetle_enhanced.csv")
     with open(dst2, "w") as fh:
         fh.write(CSV_HEADER)
-        fh.write(f"beetle,-,{cap[0]},{cap[1]},{cap[2]},{mu[0]},{mu[1]},{mu[2]}\n")
+        fh.write(f"beetle,{train_time + t_extract},"
+                 f"{cap[0]},{cap[1]},{cap[2]},{mu[0]},{mu[1]},{mu[2]}\n")
+    if osp.exists(prov):
+        # same checkpoint + same service session as the base row
+        shutil.copy(prov, osp.join(args.out,
+                                   "results_beetle_enhanced_provenance.json"))
     print(f"Wrote {dst2}:")
     print(open(dst2).read())
 
